@@ -1,0 +1,152 @@
+"""Experiment driver CLI — the run_experiments.sh analog.
+
+Usage:
+  python -m flowgnn_tpu.cli run [--model all|gin|...] [--dataset DIR|synth]
+                                [--trials N] [--out DIR] [--f32]
+
+For each (model, dataset) case it mirrors the reference driver's protocol
+(run_experiments.sh:28-49): load the dataset, run the whole stream through
+the device ``trials`` times, report *average device time / graphs = ms per
+graph*, and write:
+
+  <out>/<model>_output.txt     — per-graph predictions "g%d: %.8f"
+                                 (HLS_output.txt format, GIN/src/host.cc:213-222)
+  <out>/summary.<model>.csv    — kernel-execution stats in the shape of the
+                                 XRT profile summary the reference commits
+                                 (GIN/summary.molhiv.csv:41)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _load_graphs(dataset: str, spec, num_graphs: int | None):
+    from .core.synthetic import synthetic_molhiv
+    from .core import io as gio
+
+    if dataset == "synth":
+        return synthetic_molhiv(
+            num_graphs or 4113, seed=0, with_eigen=spec.needs_eigen
+        )
+    return list(
+        gio.read_dataset(dataset, num_graphs=num_graphs, with_eigen=spec.needs_eigen)
+    )
+
+
+def run_case(
+    name: str,
+    dataset: str,
+    trials: int,
+    out_dir: str,
+    prec,
+    reference_root: str,
+    num_graphs: int | None = None,
+    caps=(8192, 24576, 512),
+) -> dict:
+    import jax
+
+    from .core.graphs import pack_dataset
+    from .models import registry
+    from .models.base import as_batch, prepare_params
+
+    spec = registry.get(name)
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jparams = prepare_params(params, prec)
+    graphs = registry.apply_transforms(spec, _load_graphs(dataset, spec, num_graphs))
+    buckets = list(
+        pack_dataset(
+            graphs,
+            node_capacity=caps[0],
+            edge_capacity=caps[1],
+            graph_capacity=caps[2],
+            with_eigen=spec.needs_eigen,
+        )
+    )
+    batches = [jax.tree_util.tree_map(jax.device_put, as_batch(b)) for b in buckets]
+    counts = [b.num_graphs for b in buckets]
+    total = sum(counts)
+
+    fwd = jax.jit(lambda p, b: spec.forward(p, b, prec))
+    fwd(jparams, batches[0]).block_until_ready()
+
+    times = []
+    outs = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        outs = [fwd(jparams, b) for b in batches]
+        outs[-1].block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"{name}_output.txt"), "w") as f:
+        g = 1
+        for out, k in zip(outs, counts):
+            vals = out[:k, 0]
+            for val in vals:
+                f.write(f"g{g}: {float(val):.8f}\n")
+                g += 1
+
+    avg_ms = sum(times) / len(times) * 1e3
+    mn, mx = min(times) * 1e3, max(times) * 1e3
+    with open(os.path.join(out_dir, f"summary.{name}.csv"), "w") as f:
+        f.write("Kernel Execution\n")
+        f.write("Kernel,Number Of Enqueues,Total Time (ms),Average Time (ms),"
+                "Minimum Time (ms),Maximum Time (ms)\n")
+        f.write(
+            f"{name}_compute_graphs,{trials},{sum(times) * 1e3:.6f},"
+            f"{avg_ms:.6f},{mn:.6f},{mx:.6f}\n"
+        )
+
+    ms_per_graph = avg_ms / total
+    return {
+        "model": name,
+        "dataset": dataset,
+        "num_graphs": total,
+        "avg_ms": avg_ms,
+        "ms_per_graph": ms_per_graph,
+        "graphs_per_s": total / (avg_ms / 1e3),
+    }
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="flowgnn_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="run inference experiments")
+    run.add_argument("--model", default="all")
+    run.add_argument("--dataset", default="synth",
+                     help="'synth' or a reference-layout dataset dir")
+    run.add_argument("--num-graphs", type=int, default=None)
+    run.add_argument("--trials", type=int, default=5)
+    run.add_argument("--out", default="results")
+    run.add_argument("--f32", action="store_true")
+    run.add_argument("--reference", default="/root/reference")
+    args = ap.parse_args(argv)
+
+    from .core.numerics import BF16, FLOAT32
+    from .models import registry
+
+    prec = FLOAT32 if args.f32 else BF16
+    names = list(registry.MODELS) if args.model == "all" else [args.model]
+    results = []
+    for name in names:
+        r = run_case(
+            name, args.dataset, args.trials, args.out, prec, args.reference,
+            args.num_graphs,
+        )
+        results.append(r)
+        print(
+            f"{name} on {args.dataset}: {r['ms_per_graph'] * 1e3:.2f} us/graph "
+            f"({r['graphs_per_s']:.0f} graphs/s)",
+            file=sys.stderr,
+        )
+    with open(os.path.join(args.out, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Shared model building blocks over packed graph batches.
+
+A "batch" is the dict-of-arrays view of ``core.graphs.PackedGraphs``:
+
+  node_feat  [N+1, 9] i32   node_graph [N+1] i32   senders/receivers [E] i32
+  edge_attr  [E, 3]   i32   n_node/n_edge [G+1] i32   node_eigen [N+1, 4] f32?
+
+with one trailing pad node (index N) that every padded edge points at and one
+trailing pad graph that owns every pad node. All per-node math simply includes
+the pad rows (their results are never read); readout segments by graph id so
+padding falls into the pad graph's row.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.features import ATOM_FEATURE_OFFSETS, BOND_FEATURE_OFFSETS
+from ..core.graphs import PackedGraphs
+from ..core.numerics import Precision
+from ..ops.segment import segment_sum
+
+
+def as_batch(packed: PackedGraphs) -> dict:
+    """PackedGraphs → dict of numpy arrays ready for jnp/jit consumption."""
+    batch = {
+        "node_feat": packed.node_feat,
+        "node_graph": packed.node_graph,
+        "senders": packed.senders,
+        "receivers": packed.receivers,
+        "edge_attr": packed.edge_attr,
+        "n_node": packed.n_node,
+        "n_edge": packed.n_edge,
+    }
+    if packed.node_eigen is not None:
+        batch["node_eigen"] = packed.node_eigen
+    return batch
+
+
+def num_nodes_static(batch: dict) -> int:
+    """Padded node-axis length (N+1) — static at trace time."""
+    return batch["node_feat"].shape[0]
+
+
+def num_graphs_static(batch: dict) -> int:
+    return batch["n_node"].shape[0]
+
+
+def atom_embed(table: jnp.ndarray, node_feat: jnp.ndarray, prec: Precision) -> jnp.ndarray:
+    """h0[v] = Σ_f AtomTable[offset_f + feat_f[v]] (GIN/src/load_inputs.cc:174-220)."""
+    rows = node_feat + jnp.asarray(ATOM_FEATURE_OFFSETS)[None, :]
+    h = jnp.take(table, rows, axis=0).sum(axis=1)
+    return prec.q(h.astype(prec.compute_dtype))
+
+
+def bond_embed(table_l: jnp.ndarray, edge_attr: jnp.ndarray, prec: Precision) -> jnp.ndarray:
+    """ee[e] = Σ_f BondTable_l[offset_f + attr_f[e]] (GIN/src/message_passing.cc:136-146)."""
+    rows = edge_attr + jnp.asarray(BOND_FEATURE_OFFSETS)[None, :]
+    ee = jnp.take(table_l, rows, axis=0).sum(axis=1)
+    return prec.q(ee.astype(prec.compute_dtype))
+
+
+def out_degree(batch: dict, axis_name: Optional[str] = None) -> jnp.ndarray:
+    """Edges-with-source-u count per node (degree_table[u]++,
+    GIN/src/load_inputs.cc:130). Includes pad node slot."""
+    n = num_nodes_static(batch)
+    ones = jnp.ones_like(batch["senders"], jnp.int32)
+    return segment_sum(ones, batch["senders"], n, axis_name)
+
+
+def in_degree(batch: dict, axis_name: Optional[str] = None) -> jnp.ndarray:
+    n = num_nodes_static(batch)
+    ones = jnp.ones_like(batch["receivers"], jnp.int32)
+    return segment_sum(ones, batch["receivers"], n, axis_name)
+
+
+def mean_pool(h: jnp.ndarray, batch: dict, prec: Precision) -> jnp.ndarray:
+    """Per-graph mean over nodes (GIN/src/finalize.cc:38-115): divide the
+    segment sum by the *graph's* node count, exactly as the device divides by
+    num_of_nodes. Pad graph rows are garbage by design."""
+    g = num_graphs_static(batch)
+    total = segment_sum(h, batch["node_graph"], g)
+    count = jnp.maximum(batch["n_node"], 1).astype(h.dtype)
+    return prec.q(total / count[:, None])
+
+
+def acc_dtype(prec: Precision):
+    """MXU accumulation dtype: f32 for f32/bf16 compute, f64 in exactness tests."""
+    return jnp.float64 if prec.compute_dtype == jnp.float64 else jnp.float32
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray], prec: Precision) -> jnp.ndarray:
+    """Reference row-major matvec: y = x @ w.T + b (GIN/src/linear.cc:5-161)."""
+    y = jnp.dot(x, w.T, preferred_element_type=acc_dtype(prec)).astype(prec.compute_dtype)
+    if b is not None:
+        y = y + b
+    return prec.q(y)
+
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, 0)
+
+
+def prepare_params(params: dict, prec: Precision) -> dict:
+    """Cast a numpy param pytree to device dtype; in fixed mode first snap
+    every weight to the ap_fixed grid as the hosts' float→ap_fixed casts do
+    (GIN/src/host_load.cc:60-98)."""
+    import jax
+
+    def cvt(x):
+        x = np.asarray(x)
+        if np.issubdtype(x.dtype, np.floating):
+            x = prec.q_np(x)
+            return jnp.asarray(x, prec.compute_dtype)
+        return jnp.asarray(x)
+
+    return jax.tree_util.tree_map(cvt, params)

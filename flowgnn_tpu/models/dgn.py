@@ -1,0 +1,76 @@
+"""DGN over packed batches (mean + directional-derivative channels, dim 100).
+
+Math reproduced (see reference/oracles.py:dgn_forward for citations):
+two-channel messages m1 = Σ h_u, m2 = Σ (eig_u − eig_v)·h_u using Laplacian
+eigenvector component [1] (DGN/src/message_passing.cc:120-153,
+DGN/src/load_inputs.cc:105-110); update a1 = m1/deg,
+a2 = |m2 − eigw_sum·h| / eig_abssum (zero → 2^-13 ulp of ap_fixed<16,3>),
+posttrans [dim,2,dim] linear, residual h + relu(acc)
+(DGN/src/node_embedding.cc:107-160); readout MLP dim→50→25→1
+(DGN/src/finalize.cc:35-52).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.numerics import FLOAT32, Precision
+from ..ops.segment import segment_sum
+from .base import linear, mean_pool, out_degree, relu
+
+EIG_EPS = 1.0 / 8192  # ap_fixed_epsilon<ap_fixed<16,3>> (DGN/src/node_embedding.cc:125)
+
+
+def _atom_embed_dgn(tables: jnp.ndarray, node_feat: jnp.ndarray, prec: Precision):
+    """DGN keeps 9 separate [119, dim] tables (DGN/src/load_inputs.cc:114-137);
+    equivalent single gather over the stacked [9·119, dim] table."""
+    flat = tables.reshape(-1, tables.shape[-1])
+    rows = node_feat + (jnp.arange(9, dtype=jnp.int32) * 119)[None, :]
+    h = jnp.take(flat, rows, axis=0).sum(axis=1)
+    return prec.q(h.astype(prec.compute_dtype))
+
+
+def forward(
+    params: dict,
+    batch: dict,
+    prec: Precision = FLOAT32,
+    return_intermediates: bool = False,
+    edge_axis: str | None = None,
+):
+    u, v = batch["senders"], batch["receivers"]
+    n = batch["node_feat"].shape[0]
+    L = params["posttrans_w"].shape[0]
+    dt = prec.compute_dtype
+
+    eig = batch["node_eigen"][:, 1].astype(dt)
+    eig_w = prec.q(jnp.take(eig, u) - jnp.take(eig, v))
+    eig_abssum = segment_sum(jnp.abs(eig_w), v, n, edge_axis)
+    eigw_sum = prec.q(segment_sum(eig_w, v, n, edge_axis))
+    eig_abssum = prec.q(jnp.where(eig_abssum == 0, EIG_EPS, eig_abssum))
+    # The device divides by the raw out-degree with no zero guard
+    # (DGN/src/node_embedding.cc:145); clamp for isolated nodes (message 0).
+    deg = jnp.maximum(out_degree(batch, edge_axis), 1).astype(dt)[:, None]
+
+    h = _atom_embed_dgn(params["atom_tables"], batch["node_feat"], prec)
+    inter = [h]
+    for l in range(L):
+        x = jnp.take(h, u, axis=0)
+        m1 = prec.q(segment_sum(x, v, n, edge_axis))
+        m2 = prec.q(segment_sum(eig_w[:, None] * x, v, n, edge_axis))
+        a1 = prec.q(m1 / deg)
+        a2 = prec.q(jnp.abs(m2 - eigw_sum[:, None] * h) / eig_abssum[:, None])
+        # Fused two-channel linear: concat channels → one MXU matmul against
+        # the [dim_out, 2·dim_in] reshaped posttrans weight.
+        a = jnp.concatenate([a1, a2], axis=1)
+        w = params["posttrans_w"][l].reshape(params["posttrans_w"].shape[1], -1)
+        acc = linear(a, w, params["posttrans_b"][l], prec)
+        h = prec.q(h + relu(acc))
+        inter.append(h)
+
+    h_graph = mean_pool(h, batch, prec)
+    z = relu(linear(h_graph, params["mlp1_w"], params["mlp1_b"], prec))
+    z = relu(linear(z, params["mlp2_w"], params["mlp2_b"], prec))
+    out = linear(z, params["mlp3_w"], params["mlp3_b"], prec)
+    if return_intermediates:
+        return out, {"layers": inter, "h_graph": h_graph}
+    return out

@@ -1,0 +1,93 @@
+"""GAT over packed batches (4 heads × dim 16, self edges, no edge features).
+
+Math reproduced (see reference/oracles.py:gat_forward for citations). The
+reference software-pipelines layers — each layer's apply unit eagerly computes
+the *next* layer's projection and attention scores
+(GAT/src/node_embedding.cc:98-271, weights indexed [layer+1]); here the same
+math runs in natural order. Edge softmax uses raw exp with no
+max-subtraction, matching GAT/src/message_passing.cc:122-148 — fine for
+parity at dim-16 fixed-point scale, and kept so numerics line up.
+
+Self edges must already be present in the batch
+(core.graphs.add_self_loops ≙ GAT/src/load_inputs.cc:144-149).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.numerics import FLOAT32, Precision
+from ..ops.segment import segment_sum
+from .base import linear, mean_pool
+
+LEAKY_SLOPE = 0.2
+
+
+def _project(w_l: jnp.ndarray, x: jnp.ndarray, prec: Precision) -> jnp.ndarray:
+    """[head_out, dim_out, head_in, dim_in] × [n, head_in, dim_in].
+
+    Flattened to a single (n, H·D) @ (H·D, H·D) matmul so it lands on the MXU
+    as one dense op instead of 16 head-pair matmuls.
+    """
+    n = x.shape[0]
+    ho, do, hi, di = w_l.shape
+    from .base import acc_dtype
+
+    y = jnp.dot(
+        x.reshape(n, hi * di),
+        w_l.reshape(ho * do, hi * di).T,
+        preferred_element_type=acc_dtype(prec),
+    ).astype(prec.compute_dtype)
+    return prec.q(y.reshape(n, ho, do))
+
+
+def _scores(h: jnp.ndarray, a: jnp.ndarray, prec: Precision) -> jnp.ndarray:
+    """s[v, head] = Σ_dim h[v,head,dim]·a[head,dim] (GAT/src/load_inputs.cc:203-227)."""
+    return prec.q(jnp.einsum("nhd,hd->nh", h, a).astype(prec.compute_dtype))
+
+
+def forward(
+    params: dict,
+    batch: dict,
+    prec: Precision = FLOAT32,
+    return_intermediates: bool = False,
+    edge_axis: str | None = None,
+):
+    u, v = batch["senders"], batch["receivers"]
+    n = batch["node_feat"].shape[0]
+    L, H, D = params["proj_w"].shape[:3]
+
+    # prev = raw int features in head-0 slots (GAT/src/load_inputs.cc:168-227).
+    prev = jnp.zeros((n, H, D), prec.compute_dtype)
+    prev = prev.at[:, 0, :9].set(batch["node_feat"].astype(prec.compute_dtype))
+
+    h = _project(params["proj_w"][0], prev, prec)  # [n, head_out, dim_out]
+    s_src = _scores(h, params["a_src"][0], prec)
+    s_tgt = _scores(h, params["a_tgt"][0], prec)
+
+    inter = [h]
+    out_feat = None
+    for l in range(L):
+        raw = jnp.take(s_src, v, axis=0) + jnp.take(s_tgt, u, axis=0)  # [E, H]
+        score = prec.q(jnp.exp(jnp.where(raw < 0, raw * LEAKY_SLOPE, raw)))
+        msg = segment_sum(score[:, :, None] * jnp.take(h, u, axis=0), v, n, edge_axis)
+        denom = segment_sum(score, v, n, edge_axis)
+        # Pad nodes receive no edges; keep the division defined.
+        msg = prec.q(msg / jnp.where(denom == 0, 1, denom)[:, :, None])
+        skip = _project(params["skip_w"][l], prev, prec)
+        if l != L - 1:
+            feat = msg + skip
+            feat = prec.q(jnp.where(feat <= 0, jnp.exp(feat) - 1, feat))  # ELU
+            prev = feat
+            h = _project(params["proj_w"][l + 1], feat, prec)
+            s_src = _scores(h, params["a_src"][l + 1], prec)
+            s_tgt = _scores(h, params["a_tgt"][l + 1], prec)
+            inter.append(h)
+        else:
+            out_feat = prec.q((msg + skip).sum(axis=1) / H)  # head average
+
+    h_graph = mean_pool(out_feat, batch, prec)
+    out = linear(h_graph, params["pred_w"], params["pred_b"], prec)
+    if return_intermediates:
+        return out, {"layers": inter, "h_graph": h_graph}
+    return out

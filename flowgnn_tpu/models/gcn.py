@@ -1,0 +1,66 @@
+"""GCN over packed batches.
+
+Math reproduced (see reference/oracles.py:gcn_forward for citations): the
+reference fuses the previous layer's tail (root-emb residual, BatchNorm,
+ReLU) in front of each conv matmul (GCN/src/node_embedding.cc:122-146) and
+fuses the final tail (no ReLU) into pooling (GCN/src/finalize.cc:39-113);
+expressed sequentially here, same math. Messages are norm-scaled
+relu(h_u + ee_l) with norm_uv = 1/√(deg_u+1)/√(deg_v+1)
+(GCN/src/load_inputs.cc:121-163, GCN/src/message_passing.cc:148-167).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.numerics import FLOAT32, Precision
+from ..ops.segment import segment_sum
+from .base import atom_embed, bond_embed, linear, mean_pool, out_degree, relu
+
+# Device BatchNorm uses sqrt(var + ap_fixed ulp) (GCN/src/load_inputs.cc:33).
+BN_EPS = 1.0 / 1024
+
+
+def forward(
+    params: dict,
+    batch: dict,
+    prec: Precision = FLOAT32,
+    return_intermediates: bool = False,
+    edge_axis: str | None = None,
+):
+    u, v = batch["senders"], batch["receivers"]
+    n = batch["node_feat"].shape[0]
+    L = params["conv_w"].shape[0]
+
+    deg = out_degree(batch, edge_axis).astype(prec.compute_dtype)
+    dis = 1.0 / jnp.sqrt(deg + 1)
+    norm = prec.q((jnp.take(dis, u) * jnp.take(dis, v))[:, None])
+
+    def bn(x, l):
+        s = jnp.sqrt(params["bn_var"][l] + BN_EPS)
+        return prec.q(
+            (x - params["bn_mean"][l]) / s * params["bn_weight"][l]
+            + params["bn_bias"][l]
+        )
+
+    def tail(m, h, l):
+        a = m + relu(h + params["root_emb"][l]) / (deg[:, None] + 1)
+        return bn(prec.q(a), l)
+
+    h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
+    m = jnp.zeros_like(h)
+    inter = [h]
+    for l in range(L):
+        a = h if l == 0 else relu(tail(m, h, l - 1))
+        h = linear(a, params["conv_w"][l], params["conv_b"][l], prec)
+        ee = bond_embed(params["edge_embedding"][l], batch["edge_attr"], prec)
+        msg = norm * relu(jnp.take(h, u, axis=0) + ee)
+        m = prec.q(segment_sum(msg, v, n, edge_axis))
+        inter.append(h)
+
+    a = tail(m, h, L - 1)  # final tail has no ReLU (GCN/src/finalize.cc:88-96)
+    h_graph = mean_pool(a, batch, prec)
+    out = linear(h_graph, params["pred_w"], params["pred_b"], prec)
+    if return_intermediates:
+        return out, {"layers": inter, "h_graph": h_graph}
+    return out

@@ -1,0 +1,59 @@
+"""GIN / GIN-VN over packed batches (TPU-native formulation).
+
+Math reproduced (see reference/oracles.py:gin_forward for citations):
+message m[v] = Σ_{u→v} relu(h_u + ee_l); update h' = MLP_l((1+ε)h + m) with
+MLP dim→2·dim→dim, ReLU between and after except the last layer
+(GIN/src/message_passing.cc:136-146, GIN/src/node_embedding.cc:117-192);
+readout mean-pool → linear (GIN/src/finalize.cc:27-33).
+
+GIN-VN is the same program over virtual-node-augmented graphs
+(core.graphs.add_virtual_node ≙ GIN-VN/src/host_load.cc:129-153).
+
+The FPGA drops ε (never bound to the kernel — GIN/src/host.cc:185-200), so
+``fpga_eps=True`` (default) zeroes it for device parity; ``False`` restores
+the trained value for parity with the original PyTorch model.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.numerics import FLOAT32, Precision
+from ..ops.segment import segment_sum
+from .base import atom_embed, bond_embed, linear, mean_pool, relu
+
+
+def forward(
+    params: dict,
+    batch: dict,
+    prec: Precision = FLOAT32,
+    fpga_eps: bool = True,
+    return_intermediates: bool = False,
+    edge_axis: str | None = None,
+):
+    """``edge_axis``: mesh axis name when edges are sharded across chips
+    (partial per-chip messages all-reduced over ICI — SURVEY.md §2.4)."""
+    u, v = batch["senders"], batch["receivers"]
+    n = batch["node_feat"].shape[0]
+    L = params["mlp1_w"].shape[0]
+    eps = jnp.zeros(L, prec.compute_dtype) if fpga_eps else params["eps"]
+
+    h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
+    inter = [h]
+    for l in range(L):
+        ee = bond_embed(params["edge_embedding"][l], batch["edge_attr"], prec)
+        msg = relu(jnp.take(h, u, axis=0) + ee)
+        m = prec.q(segment_sum(msg, v, n, edge_axis))
+        act = prec.q(m + (1 + eps[l]) * h)
+        z = relu(linear(act, params["mlp1_w"][l], params["mlp1_b"][l], prec))
+        z = linear(z, params["mlp2_w"][l], params["mlp2_b"][l], prec)
+        if l != L - 1:
+            z = relu(z)
+        h = z
+        inter.append(h)
+
+    h_graph = mean_pool(h, batch, prec)
+    out = linear(h_graph, params["pred_w"], params["pred_b"], prec)
+    if return_intermediates:
+        return out, {"layers": inter, "h_graph": h_graph}
+    return out

@@ -1,0 +1,75 @@
+"""PNA over packed batches (4 aggregators × 3 scalers, dim 80, 4 layers).
+
+Math reproduced (see reference/oracles.py:pna_forward for citations):
+multi-stat segment reduce (sum, sum², running min/max seeded at the ap_fixed
+extremes — PNA/src/message_passing.cc:121-147), degree-normalised mean/std,
+scalers (1, t, 1/t) from log(out_deg+1)/avg_deg
+(PNA/src/node_embedding.cc:123-214), one fused [dim,3,4,dim] tower, residual
+h + relu(acc), readout MLP dim→40→20→1 (PNA/src/finalize.cc:34-52).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.numerics import FLOAT32, Precision
+from ..ops.segment import segment_max, segment_min, segment_sum
+from .base import atom_embed, in_degree, linear, mean_pool, out_degree, relu
+
+# ap_fixed<16,6> extremes used to seed the running min/max accumulators
+# (PNA/src/util.h ap_fixed_min/max).
+MIN_INIT = -32.0
+MAX_INIT = 32767 / 1024
+
+
+def forward(
+    params: dict,
+    batch: dict,
+    prec: Precision = FLOAT32,
+    return_intermediates: bool = False,
+    edge_axis: str | None = None,
+):
+    u, v = batch["senders"], batch["receivers"]
+    n = batch["node_feat"].shape[0]
+    L = params["conv_w"].shape[0]
+    dt = prec.compute_dtype
+
+    # Reference asymmetry preserved: mean divides by in-degree (0→1), the
+    # scalers use log(out_degree+1) (PNA/src/load_inputs.cc:87-105).
+    in_deg = jnp.maximum(in_degree(batch, edge_axis), 1).astype(dt)[:, None]
+    log_deg = jnp.log(out_degree(batch, edge_axis).astype(dt) + 1)[:, None]
+    avg_deg = params["avg_deg"]
+    t = prec.q(log_deg / avg_deg)
+    scale = prec.q(
+        jnp.where(log_deg > 0, avg_deg / jnp.where(log_deg > 0, log_deg, 1), 1.0)
+    )
+
+    h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
+    inter = [h]
+    for l in range(L):
+        x = jnp.take(h, u, axis=0)
+        s = segment_sum(x, v, n, edge_axis)
+        s2 = segment_sum(x * x, v, n, edge_axis)
+        mn = segment_min(x, v, n, MAX_INIT, edge_axis)
+        mx = segment_max(x, v, n, MIN_INIT, edge_axis)
+        mean = prec.q(s / in_deg)
+        std = prec.q(jnp.sqrt(relu(prec.q(s2 / in_deg) - mean * mean)))
+        # [n, aggr, dim] in enum order (mean, min, max, std) — PNA/src/dcl.h:29-35.
+        stats = jnp.stack([mean, mn, mx, std], axis=1)
+        # [n, scaler, aggr, dim]: (1, t, scale).
+        scaled = jnp.stack(
+            [stats, stats * t[:, None], stats * scale[:, None]], axis=1
+        )
+        # One fused tower: flatten (scaler, aggr, dim_in) → single MXU matmul.
+        w = params["conv_w"][l].reshape(params["conv_w"].shape[1], -1)
+        acc = linear(scaled.reshape(n, -1), w, params["conv_b"][l], prec)
+        h = prec.q(h + relu(acc))
+        inter.append(h)
+
+    h_graph = mean_pool(h, batch, prec)
+    z = relu(linear(h_graph, params["mlp1_w"], params["mlp1_b"], prec))
+    z = relu(linear(z, params["mlp2_w"], params["mlp2_b"], prec))
+    out = linear(z, params["mlp3_w"], params["mlp3_b"], prec)
+    if return_intermediates:
+        return out, {"layers": inter, "h_graph": h_graph}
+    return out
