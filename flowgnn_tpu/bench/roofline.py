@@ -1,0 +1,106 @@
+"""Analytic cost models + roofline accounting per model family.
+
+The reference publishes only end-to-end kernel times (XRT summary CSVs); the
+TPU build's perf discipline adds a roofline view: for a packed bucket we
+count MXU FLOPs and HBM bytes analytically, derive the light-speed time on
+the chip, and report measured/ideal. BASELINE.md's target is the scatter
+(SpMM) stage at ≥70% of its roofline.
+
+Chip peaks default to TPU v5e (the bench chip): 197 TFLOP/s bf16,
+~99 TFLOP/s f32 MXU, 819 GB/s HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    name: str = "tpu-v5e"
+    peak_bf16_flops: float = 197e12
+    peak_f32_flops: float = 99e12
+    hbm_gbps: float = 819e9
+
+
+V5E = ChipSpec()
+
+
+@dataclasses.dataclass
+class Cost:
+    flops: float
+    bytes: float
+
+    def light_speed_s(self, chip: ChipSpec = V5E, bf16: bool = True) -> float:
+        peak = chip.peak_bf16_flops if bf16 else chip.peak_f32_flops
+        return max(self.flops / peak, self.bytes / chip.hbm_gbps)
+
+    def __add__(self, o: "Cost") -> "Cost":
+        return Cost(self.flops + o.flops, self.bytes + o.bytes)
+
+
+def _mm(n: int, k: int, m: int, b: int) -> Cost:
+    """n×k @ k×m matmul cost at b bytes/elem (weights assumed resident)."""
+    return Cost(2.0 * n * k * m, b * (n * k + n * m))
+
+
+def model_cost(name: str, num_nodes: int, num_edges: int, bytes_per_el: int = 2) -> Cost:
+    """Per-bucket forward cost. Dims/layers per SURVEY.md §2.5."""
+    n, e, b = num_nodes, num_edges, bytes_per_el
+    if name in ("gin", "gin-vn"):
+        c = Cost(0, 0)
+        for _ in range(5):
+            c += _mm(n, 100, 200, b) + _mm(n, 200, 100, b)
+            c += Cost(3 * e * 100, b * (3 * e * 100 + n * 100))  # msg+scatter
+        return c
+    if name == "gcn":
+        c = Cost(0, 0)
+        for _ in range(5):
+            c += _mm(n, 100, 100, b)
+            c += Cost(4 * e * 100, b * (3 * e * 100 + n * 100))
+        return c
+    if name == "gat":
+        c = Cost(0, 0)
+        for _ in range(5):
+            c += _mm(n, 64, 64, b)  # linear projection (4 heads × 16 flat)
+            c += _mm(n, 64, 64, b)  # skip projection
+            c += Cost(5 * e * 64, b * (3 * e * 64 + n * 64))
+        return c
+    if name == "pna":
+        c = Cost(0, 0)
+        for _ in range(4):
+            c += _mm(n, 12 * 80, 80, b)
+            c += Cost(6 * e * 80, b * (4 * e * 80 + 4 * n * 80))
+        return c
+    if name == "dgn":
+        c = Cost(0, 0)
+        for _ in range(4):
+            c += _mm(n, 200, 100, b)
+            c += Cost(5 * e * 100, b * (3 * e * 100 + 2 * n * 100))
+        return c
+    raise KeyError(name)
+
+
+def spmm_cost(
+    padded_lanes: int, window: int, dim: int, bytes_per_el: int = 2
+) -> Cost:
+    """Windowed one-hot scatter cost (ops/pallas/spmm.py): one
+    [block,window]ᵀ@[block,dim] MXU matmul per block."""
+    return Cost(
+        2.0 * padded_lanes * window * dim,
+        bytes_per_el * padded_lanes * dim,
+    )
+
+
+def report(name: str, num_nodes: int, num_edges: int, measured_s: float,
+           bf16: bool = True, chip: ChipSpec = V5E) -> dict:
+    cost = model_cost(name, num_nodes, num_edges, 2 if bf16 else 4)
+    ideal = cost.light_speed_s(chip, bf16)
+    return {
+        "gflops": cost.flops / 1e9,
+        "gbytes": cost.bytes / 1e9,
+        "light_speed_us": ideal * 1e6,
+        "measured_us": measured_s * 1e6,
+        "roofline_frac": ideal / measured_s if measured_s > 0 else 0.0,
+        "achieved_tflops": cost.flops / measured_s / 1e12 if measured_s else 0.0,
+    }

@@ -26,12 +26,16 @@ import time
 
 
 def _load_graphs(dataset: str, spec, num_graphs: int | None):
-    from .core.synthetic import synthetic_molhiv
+    from .core.synthetic import DATASET_PROFILES, synthetic_dataset, synthetic_molhiv
     from .core import io as gio
 
     if dataset == "synth":
         return synthetic_molhiv(
             num_graphs or 4113, seed=0, with_eigen=spec.needs_eigen
+        )
+    if dataset in DATASET_PROFILES:
+        return synthetic_dataset(
+            dataset, seed=0, with_eigen=spec.needs_eigen, num_graphs=num_graphs
         )
     return list(
         gio.read_dataset(dataset, num_graphs=num_graphs, with_eigen=spec.needs_eigen)
@@ -47,6 +51,8 @@ def run_case(
     reference_root: str,
     num_graphs: int | None = None,
     caps=(8192, 24576, 512),
+    use_pallas: bool = False,
+    trace_dir: str | None = None,
 ) -> dict:
     import jax
 
@@ -67,20 +73,30 @@ def run_case(
             with_eigen=spec.needs_eigen,
         )
     )
-    batches = [jax.tree_util.tree_map(jax.device_put, as_batch(b)) for b in buckets]
+    batches = [
+        jax.tree_util.tree_map(jax.device_put, as_batch(b, blocked=use_pallas))
+        for b in buckets
+    ]
     counts = [b.num_graphs for b in buckets]
     total = sum(counts)
 
+    import numpy as np
+
     fwd = jax.jit(lambda p, b: spec.forward(p, b, prec))
-    fwd(jparams, batches[0]).block_until_ready()
+    # Host readback forces completion (the axon relay's block_until_ready
+    # can return early; real bytes cannot).
+    np.asarray(fwd(jparams, batches[0]))
+
+    from .bench.profiling import trace
 
     times = []
     outs = None
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        outs = [fwd(jparams, b) for b in batches]
-        outs[-1].block_until_ready()
-        times.append(time.perf_counter() - t0)
+    with trace(trace_dir):
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            pending = [fwd(jparams, b) for b in batches]  # pipelined dispatch
+            outs = [np.asarray(o) for o in pending]
+            times.append(time.perf_counter() - t0)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, f"{name}_output.txt"), "w") as f:
@@ -117,9 +133,17 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="flowgnn_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
     run = sub.add_parser("run", help="run inference experiments")
-    run.add_argument("--model", default="all")
+    run.add_argument(
+        "--model", default="all",
+        choices=["all", "gin", "gin-vn", "gcn", "gat", "pna", "dgn"],
+    )
     run.add_argument("--dataset", default="synth",
-                     help="'synth' or a reference-layout dataset dir")
+                     help="'synth', a profile (molhiv|molpcba|hep10k), or a "
+                          "reference-layout dataset dir")
+    run.add_argument("--pallas", action="store_true",
+                     help="use the Pallas windowed-scatter kernel path")
+    run.add_argument("--trace", default=None,
+                     help="capture a jax.profiler trace into this logdir")
     run.add_argument("--num-graphs", type=int, default=None)
     run.add_argument("--trials", type=int, default=5)
     run.add_argument("--out", default="results")
@@ -136,7 +160,7 @@ def main(argv=None) -> None:
     for name in names:
         r = run_case(
             name, args.dataset, args.trials, args.out, prec, args.reference,
-            args.num_graphs,
+            args.num_graphs, use_pallas=args.pallas, trace_dir=args.trace,
         )
         results.append(r)
         print(

@@ -1,0 +1,123 @@
+"""Segment-sorted edge blocking — host-side layout for the Pallas SpMM path.
+
+The reference builds a destination-partitioned CSR on the fly so its scatter
+PEs accumulate conflict-free (2-pass degree count + prefix sum + scatter,
+GIN/src/load_inputs.cc:87-172). The TPU equivalent prepared here:
+
+  * edges stably sorted by receiver,
+  * receivers partitioned into node *windows* of ``window`` rows,
+  * each window's edge list padded to a multiple of ``block`` edges
+    (pad lanes carry the in-window sentinel ``window``), at least one block
+    per window,
+  * a per-block window id array drives the kernel's output revisiting.
+
+With this layout the scatter becomes a sequence of [block, window] one-hot
+matmuls on the MXU (ops/pallas/spmm.py) — dense, conflict-free, and with the
+same "private partition per compute unit" character as the reference's
+``dest % EDGE_PARALLEL`` trick, only blocked for a systolic array instead of
+striped for 4 FIFO PEs.
+
+Capacity: every window wastes at most ``block-1`` lanes, so
+``num_blocks = ceil(edge_capacity / block) + num_windows`` always suffices
+and is static per (capacity, window, block) — jit sees one shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class EdgeBlocks:
+    """Static-shape blocked edge layout (arrays sized num_blocks·block)."""
+
+    perm: np.ndarray  # [P] int32 — index into the original edge axis
+    valid: np.ndarray  # [P] bool — False for pad lanes
+    v_local: np.ndarray  # [P] int32 — receiver − window_base; ``window`` for pads
+    block_window: np.ndarray  # [num_blocks] int32 — window id per block
+    window: int
+    block: int
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.block_window.shape[0])
+
+
+def blocks_capacity(edge_capacity: int, num_nodes: int, window: int, block: int) -> int:
+    num_windows = -(-num_nodes // window)
+    return -(-edge_capacity // block) + num_windows
+
+
+def build_edge_blocks(
+    receivers: np.ndarray,
+    num_nodes: int,
+    edge_capacity: int,
+    window: int = 128,
+    block: int = 128,
+) -> EdgeBlocks:
+    """Build the blocked layout for one packed bucket.
+
+    ``receivers`` is the full padded edge array; entries ≥ ``num_nodes``
+    (pad edges pointing at the pad node) are dropped — the pad node's
+    message is never read.
+    """
+    receivers = np.asarray(receivers)
+    num_windows = -(-num_nodes // window)
+    nblocks = blocks_capacity(edge_capacity, num_nodes, window, block)
+    p = nblocks * block
+
+    perm = np.zeros(p, np.int32)
+    valid = np.zeros(p, np.bool_)
+    v_local = np.full(p, window, np.int32)
+    block_window = np.full(nblocks, num_windows - 1, np.int32)
+
+    real = np.nonzero(receivers < num_nodes)[0]
+    order = real[np.argsort(receivers[real], kind="stable")]
+    wids = receivers[order] // window
+
+    out_lane = 0
+    out_block = 0
+    i = 0
+    for w in range(num_windows):
+        j = i
+        while j < len(order) and wids[j] == w:
+            j += 1
+        cnt = j - i
+        blocks_w = max(1, -(-cnt // block))
+        for bi in range(blocks_w):
+            block_window[out_block] = w
+            lo = i + bi * block
+            hi = min(i + (bi + 1) * block, j)
+            k = hi - lo
+            if k > 0:
+                perm[out_lane : out_lane + k] = order[lo:hi]
+                valid[out_lane : out_lane + k] = True
+                v_local[out_lane : out_lane + k] = (
+                    receivers[order[lo:hi]] - w * window
+                )
+            out_lane += block
+            out_block += 1
+        i = j
+    # Remaining blocks are pure padding; park them on the last window so the
+    # block_window array stays non-decreasing (keeps the first/last-block
+    # logic in the kernel trivial).
+    return EdgeBlocks(perm, valid, v_local, block_window, window, block)
+
+
+def segment_sum_blocked_reference(
+    edge_values: np.ndarray, blocks: EdgeBlocks, num_nodes: int
+) -> np.ndarray:
+    """NumPy oracle of the blocked windowed segment-sum (for kernel tests)."""
+    w, b = blocks.window, blocks.block
+    num_windows = -(-num_nodes // w)
+    out = np.zeros((num_windows * w,) + edge_values.shape[1:], np.float32)
+    vals = edge_values[blocks.perm] * blocks.valid[:, None]
+    for blk in range(blocks.num_blocks):
+        base = int(blocks.block_window[blk]) * w
+        for lane in range(b):
+            p = blk * b + lane
+            if blocks.valid[p]:
+                out[base + blocks.v_local[p]] += vals[p]
+    return out[:num_nodes]

@@ -23,9 +23,21 @@ from ..core.graphs import PackedGraphs
 from ..core.numerics import Precision
 from ..ops.segment import segment_sum
 
+# Blocked-scatter layout constants (see core/blocking.py and
+# ops/pallas/spmm.py). window == block == 128 keeps the one-hot scatter
+# matmul on the MXU's native tile and lets the kernel infer the block size
+# from array shapes alone.
+PALLAS_WINDOW = 128
+PALLAS_BLOCK = 128
 
-def as_batch(packed: PackedGraphs) -> dict:
-    """PackedGraphs → dict of numpy arrays ready for jnp/jit consumption."""
+
+def as_batch(packed: PackedGraphs, blocked: bool = False) -> dict:
+    """PackedGraphs → dict of numpy arrays ready for jnp/jit consumption.
+
+    ``blocked=True`` additionally attaches the segment-sorted edge-block
+    layout that routes the models' message reductions through the Pallas
+    windowed-scatter kernel (ops/pallas/spmm.py) instead of XLA scatter.
+    """
     batch = {
         "node_feat": packed.node_feat,
         "node_graph": packed.node_graph,
@@ -37,7 +49,37 @@ def as_batch(packed: PackedGraphs) -> dict:
     }
     if packed.node_eigen is not None:
         batch["node_eigen"] = packed.node_eigen
+    if blocked:
+        from ..core.blocking import build_edge_blocks
+
+        n = packed.node_capacity + 1  # include the pad node row
+        blocks = build_edge_blocks(
+            packed.receivers, n, packed.edge_capacity,
+            window=PALLAS_WINDOW, block=PALLAS_BLOCK,
+        )
+        batch["blk_perm"] = blocks.perm
+        batch["blk_valid"] = blocks.valid
+        batch["blk_vlocal"] = blocks.v_local
+        batch["blk_window"] = blocks.block_window
     return batch
+
+
+def edge_segment_sum(
+    vals: jnp.ndarray, batch: dict, axis_name: Optional[str] = None
+) -> jnp.ndarray:
+    """Message reduction dispatch: Pallas windowed scatter when the batch
+    carries the blocked layout (single chip), XLA segment-sum otherwise
+    (including the edge-sharded multi-chip path, where the psum completes
+    partial messages)."""
+    n = num_nodes_static(batch)
+    if axis_name is None and "blk_perm" in batch:
+        from ..ops.pallas.spmm import segment_sum_via_blocks
+
+        return segment_sum_via_blocks(
+            vals, batch["blk_perm"], batch["blk_valid"], batch["blk_vlocal"],
+            batch["blk_window"], n, PALLAS_WINDOW,
+        )
+    return segment_sum(vals, batch["receivers"], n, axis_name)
 
 
 def num_nodes_static(batch: dict) -> int:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
-from .base import linear, mean_pool, out_degree, relu
+from .base import edge_segment_sum, linear, mean_pool, out_degree, relu
 
 EIG_EPS = 1.0 / 8192  # ap_fixed_epsilon<ap_fixed<16,3>> (DGN/src/node_embedding.cc:125)
 
@@ -55,8 +55,11 @@ def forward(
     inter = [h]
     for l in range(L):
         x = jnp.take(h, u, axis=0)
-        m1 = prec.q(segment_sum(x, v, n, edge_axis))
-        m2 = prec.q(segment_sum(eig_w[:, None] * x, v, n, edge_axis))
+        d = x.shape[1]
+        mm = edge_segment_sum(
+            jnp.concatenate([x, eig_w[:, None] * x], axis=1), batch, edge_axis
+        )
+        m1, m2 = prec.q(mm[:, :d]), prec.q(mm[:, d:])
         a1 = prec.q(m1 / deg)
         a2 = prec.q(jnp.abs(m2 - eigw_sum[:, None] * h) / eig_abssum[:, None])
         # Fused two-channel linear: concat channels → one MXU matmul against

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
-from .base import linear, mean_pool
+from .base import edge_segment_sum, linear, mean_pool
 
 LEAKY_SLOPE = 0.2
 
@@ -70,8 +70,14 @@ def forward(
     for l in range(L):
         raw = jnp.take(s_src, v, axis=0) + jnp.take(s_tgt, u, axis=0)  # [E, H]
         score = prec.q(jnp.exp(jnp.where(raw < 0, raw * LEAKY_SLOPE, raw)))
-        msg = segment_sum(score[:, :, None] * jnp.take(h, u, axis=0), v, n, edge_axis)
-        denom = segment_sum(score, v, n, edge_axis)
+        # One fused reduction: [E, H·D] scored features ++ [E, H] scores, so
+        # the Pallas path scatters both in a single kernel pass.
+        scored = (score[:, :, None] * jnp.take(h, u, axis=0)).reshape(-1, H * D)
+        both = edge_segment_sum(
+            jnp.concatenate([scored, score], axis=1), batch, edge_axis
+        )
+        msg = both[:, : H * D].reshape(n, H, D)
+        denom = both[:, H * D :]
         # Pad nodes receive no edges; keep the division defined.
         msg = prec.q(msg / jnp.where(denom == 0, 1, denom)[:, :, None])
         skip = _project(params["skip_w"][l], prev, prec)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
-from .base import atom_embed, bond_embed, linear, mean_pool, out_degree, relu
+from .base import atom_embed, bond_embed, edge_segment_sum, linear, mean_pool, out_degree, relu
 
 # Device BatchNorm uses sqrt(var + ap_fixed ulp) (GCN/src/load_inputs.cc:33).
 BN_EPS = 1.0 / 1024
@@ -55,7 +55,7 @@ def forward(
         h = linear(a, params["conv_w"][l], params["conv_b"][l], prec)
         ee = bond_embed(params["edge_embedding"][l], batch["edge_attr"], prec)
         msg = norm * relu(jnp.take(h, u, axis=0) + ee)
-        m = prec.q(segment_sum(msg, v, n, edge_axis))
+        m = prec.q(edge_segment_sum(msg, batch, edge_axis))
         inter.append(h)
 
     a = tail(m, h, L - 1)  # final tail has no ReLU (GCN/src/finalize.cc:88-96)

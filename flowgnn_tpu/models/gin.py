@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
-from .base import atom_embed, bond_embed, linear, mean_pool, relu
+from .base import atom_embed, bond_embed, edge_segment_sum, linear, mean_pool, relu
 
 
 def forward(
@@ -43,7 +43,7 @@ def forward(
     for l in range(L):
         ee = bond_embed(params["edge_embedding"][l], batch["edge_attr"], prec)
         msg = relu(jnp.take(h, u, axis=0) + ee)
-        m = prec.q(segment_sum(msg, v, n, edge_axis))
+        m = prec.q(edge_segment_sum(msg, batch, edge_axis))
         act = prec.q(m + (1 + eps[l]) * h)
         z = relu(linear(act, params["mlp1_w"][l], params["mlp1_b"][l], prec))
         z = linear(z, params["mlp2_w"][l], params["mlp2_b"][l], prec)

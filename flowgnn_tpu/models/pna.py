@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_max, segment_min, segment_sum
-from .base import atom_embed, in_degree, linear, mean_pool, out_degree, relu
+from .base import atom_embed, edge_segment_sum, in_degree, linear, mean_pool, out_degree, relu
 
 # ap_fixed<16,6> extremes used to seed the running min/max accumulators
 # (PNA/src/util.h ap_fixed_min/max).
@@ -48,8 +48,9 @@ def forward(
     inter = [h]
     for l in range(L):
         x = jnp.take(h, u, axis=0)
-        s = segment_sum(x, v, n, edge_axis)
-        s2 = segment_sum(x * x, v, n, edge_axis)
+        d = x.shape[1]
+        ss = edge_segment_sum(jnp.concatenate([x, x * x], axis=1), batch, edge_axis)
+        s, s2 = ss[:, :d], ss[:, d:]
         mn = segment_min(x, v, n, MAX_INIT, edge_axis)
         mx = segment_max(x, v, n, MIN_INIT, edge_axis)
         mean = prec.q(s / in_deg)
