@@ -1,0 +1,79 @@
+"""Golden-oracle harness: run the reference kernels as plain C++ (sw_emu).
+
+Builds the reference's GIN kernel sources (compiled in place from
+/root/reference — never copied) against the stub headers in ``include/``
+(double-backed ap_fixed emulation + sequential hls::stream), producing a
+binary whose per-graph outputs replay the reference's golden-output
+comparison (SURVEY.md §4) with faithful ap_fixed quantization/wraparound.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_INCLUDE = os.path.join(_HERE, "include")
+
+KERNEL_SOURCES = [
+    "GIN_compute.cc",
+    "conv_layer.cc",
+    "message_passing.cc",
+    "node_embedding.cc",
+    "finalize.cc",
+    "linear.cc",
+    "load_inputs.cc",
+    "globals.cc",
+]
+
+
+def build_gin_golden(
+    reference_root: str = "/root/reference", out_path: Optional[str] = None
+) -> Optional[str]:
+    """Compile the golden GIN binary; returns its path or None on failure."""
+    src_dir = os.path.join(reference_root, "GIN", "src")
+    if not os.path.isdir(src_dir):
+        return None
+    out_path = out_path or os.path.join(_HERE, "gin_golden")
+    sources = [os.path.join(src_dir, s) for s in KERNEL_SOURCES]
+    sources.append(os.path.join(_HERE, "gin_main.cc"))
+    newest_dep = max(
+        os.path.getmtime(p)
+        for p in sources + [os.path.join(_INCLUDE, h) for h in os.listdir(_INCLUDE)]
+    )
+    if os.path.exists(out_path) and os.path.getmtime(out_path) > newest_dep:
+        return out_path
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-w",
+        f"-I{_INCLUDE}", f"-I{src_dir}",
+        *sources,
+        "-o", out_path,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    return out_path
+
+
+def run_gin_golden(
+    dataset_dir: str, num_graphs: int, reference_root: str = "/root/reference"
+) -> np.ndarray:
+    """Run the golden binary; returns per-graph predictions [num_graphs]."""
+    binary = build_gin_golden(reference_root)
+    if binary is None:
+        raise RuntimeError("golden binary unavailable")
+    weights_dir = os.path.join(reference_root, "GIN")
+    res = subprocess.run(
+        [binary, dataset_dir, str(num_graphs), weights_dir],
+        check=True, capture_output=True, text=True,
+    )
+    out = np.full(num_graphs, np.nan, np.float64)
+    for line in res.stdout.splitlines():
+        if line.startswith("g") and ":" in line:
+            idx, val = line.split(":")
+            out[int(idx[1:]) - 1] = float(val)
+    return out

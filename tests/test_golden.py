@@ -1,0 +1,48 @@
+"""Golden parity: bit-exact fixed-point GIN vs the compiled reference kernel.
+
+The reference's verification story was a manual golden-output diff
+(SURVEY.md §4). Automated here end to end: the reference GIN kernel sources
+are compiled in place (sw_emu style, ap_fixed emulated — flowgnn_tpu/golden)
+and our fixed-exact oracle must match bit for bit, including the device's
+MLP running-sum truncation and the pooling accumulator wraparound at ±32.
+"""
+
+import numpy as np
+import pytest
+
+from flowgnn_tpu.core import io as gio
+from flowgnn_tpu.core.synthetic import synthetic_molhiv
+from flowgnn_tpu.golden import build_gin_golden, run_gin_golden
+from flowgnn_tpu.models import registry
+from flowgnn_tpu.reference.fixed_exact import gin_forward_fixed_exact
+
+
+@pytest.fixture(scope="module")
+def golden_binary(reference_root):
+    binary = build_gin_golden(reference_root)
+    if binary is None:
+        pytest.skip("golden binary unavailable (no g++?)")
+    return binary
+
+
+def test_gin_bit_exact_vs_reference_kernel(golden_binary, tmp_path, reference_root):
+    graphs = synthetic_molhiv(24, seed=42)
+    gio.write_dataset(str(tmp_path), graphs)
+    golden = run_gin_golden(str(tmp_path), 24, reference_root)
+    params = registry.get("gin").loader(f"{reference_root}/GIN")
+    ours = np.array(
+        [gin_forward_fixed_exact(params, g)["out"][0] for g in graphs]
+    )
+    np.testing.assert_array_equal(ours, golden)
+
+
+def test_fixed_exact_tracks_float_mode(reference_root):
+    """The bit-exact oracle stays within the coarse fixed-mode envelope."""
+    from flowgnn_tpu.reference.oracles import gin_forward
+
+    graphs = synthetic_molhiv(8, seed=9)
+    params = registry.get("gin").loader(f"{reference_root}/GIN")
+    for g in graphs:
+        exact = gin_forward_fixed_exact(params, g)["out"][0]
+        floatv = gin_forward(params, g)["out"].ravel()[0]
+        assert abs(exact - floatv) < 1.5, (exact, floatv)
