@@ -106,6 +106,28 @@ def build_edge_blocks(
     return EdgeBlocks(perm, valid, v_local, block_window, window, block)
 
 
+def apply_blocking(
+    blocks: EdgeBlocks,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_attr: np.ndarray,
+    pad_node: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Materialise the blocked edge order at pack time: edge arrays permuted
+    into block layout, pad lanes pointing at the pad node. Models then run
+    directly on the blocked order (it is just a reordering of the edge axis)
+    and the scatter kernel needs no runtime permutation or masking — pad
+    lanes carry the in-window sentinel, whose one-hot row is zero."""
+    s = np.full(blocks.perm.shape[0], pad_node, np.int32)
+    r = np.full(blocks.perm.shape[0], pad_node, np.int32)
+    a = np.zeros((blocks.perm.shape[0], edge_attr.shape[1]), np.int32)
+    val = blocks.valid
+    s[val] = senders[blocks.perm[val]]
+    r[val] = receivers[blocks.perm[val]]
+    a[val] = edge_attr[blocks.perm[val]]
+    return s, r, a
+
+
 def segment_sum_blocked_reference(
     edge_values: np.ndarray, blocks: EdgeBlocks, num_nodes: int
 ) -> np.ndarray:

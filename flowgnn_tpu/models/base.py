@@ -50,15 +50,21 @@ def as_batch(packed: PackedGraphs, blocked: bool = False) -> dict:
     if packed.node_eigen is not None:
         batch["node_eigen"] = packed.node_eigen
     if blocked:
-        from ..core.blocking import build_edge_blocks
+        from ..core.blocking import apply_blocking, build_edge_blocks
 
         n = packed.node_capacity + 1  # include the pad node row
         blocks = build_edge_blocks(
             packed.receivers, n, packed.edge_capacity,
             window=PALLAS_WINDOW, block=PALLAS_BLOCK,
         )
-        batch["blk_perm"] = blocks.perm
-        batch["blk_valid"] = blocks.valid
+        # Edge arrays are REPLACED by their blocked-order layout (a pure
+        # reordering + padding of the edge axis — every edge-order-agnostic
+        # consumer keeps working); the kernel then runs with no runtime
+        # permutation.
+        s, r, a = apply_blocking(
+            blocks, packed.senders, packed.receivers, packed.edge_attr, n - 1
+        )
+        batch["senders"], batch["receivers"], batch["edge_attr"] = s, r, a
         batch["blk_vlocal"] = blocks.v_local
         batch["blk_window"] = blocks.block_window
     return batch
@@ -72,12 +78,11 @@ def edge_segment_sum(
     (including the edge-sharded multi-chip path, where the psum completes
     partial messages)."""
     n = num_nodes_static(batch)
-    if axis_name is None and "blk_perm" in batch:
-        from ..ops.pallas.spmm import segment_sum_via_blocks
+    if axis_name is None and "blk_vlocal" in batch:
+        from ..ops.pallas.spmm import segment_sum_blocked
 
-        return segment_sum_via_blocks(
-            vals, batch["blk_perm"], batch["blk_valid"], batch["blk_vlocal"],
-            batch["blk_window"], n, PALLAS_WINDOW,
+        return segment_sum_blocked(
+            vals, batch["blk_vlocal"], batch["blk_window"], n, PALLAS_WINDOW,
         )
     return segment_sum(vals, batch["receivers"], n, axis_name)
 

@@ -94,6 +94,26 @@ def windowed_segment_sum(
     )(block_window, v_local, values)
 
 
+def segment_sum_blocked(
+    vals: jnp.ndarray,  # [P, D] edge values ALREADY in blocked order
+    v_local: jnp.ndarray,  # [P] int32 (sentinel ``window`` on pad lanes)
+    block_window: jnp.ndarray,  # [num_blocks]
+    num_nodes: int,
+    window: int,
+) -> jnp.ndarray:
+    """Kernel entry for batches packed in blocked edge order (no runtime
+    permutation or masking — pad lanes self-mask via the sentinel).
+
+    (Measured on v5e: zero-padding the feature dim to a lane multiple costs
+    more in extra copies than the alignment buys — D=100 runs fine.)
+    """
+    num_windows = -(-num_nodes // window)
+    out = windowed_segment_sum(
+        vals, v_local[:, None], block_window, window, num_windows
+    )
+    return out[:num_nodes]
+
+
 def segment_sum_via_blocks(
     edge_values: jnp.ndarray,  # [E, D] values in ORIGINAL edge order
     perm: jnp.ndarray,  # [P] int32 blocked gather indices
