@@ -20,7 +20,15 @@ import jax.numpy as jnp
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
-from .base import atom_embed, bond_embed, edge_segment_sum, linear, mean_pool, relu
+from .base import (
+    PALLAS_WINDOW,
+    atom_embed,
+    bond_embed,
+    edge_segment_sum,
+    linear,
+    mean_pool,
+    relu,
+)
 
 
 def forward(
@@ -30,26 +38,44 @@ def forward(
     fpga_eps: bool = True,
     return_intermediates: bool = False,
     edge_axis: str | None = None,
+    fused: bool = False,
 ):
     """``edge_axis``: mesh axis name when edges are sharded across chips
-    (partial per-chip messages all-reduced over ICI — SURVEY.md §2.4)."""
+    (partial per-chip messages all-reduced over ICI — SURVEY.md §2.4).
+    ``fused``: run scatter+MLP in one Pallas kernel (opt-in experiment)."""
     u, v = batch["senders"], batch["receivers"]
     n = batch["node_feat"].shape[0]
     L = params["mlp1_w"].shape[0]
     eps = jnp.zeros(L, prec.compute_dtype) if fpga_eps else params["eps"]
+
+    # The fused kernel (scatter + MLP epilogue in one VMEM pass) is opt-in:
+    # measured on v5e it matches the split path (grid overhead dominates at
+    # these dims) while compiling ~9x slower — see BENCH.md.
+    fused = fused and "blk_vlocal" in batch and edge_axis is None and prec.fixed is None
 
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     inter = [h]
     for l in range(L):
         ee = bond_embed(params["edge_embedding"][l], batch["edge_attr"], prec)
         msg = relu(jnp.take(h, u, axis=0) + ee)
-        m = prec.q(edge_segment_sum(msg, batch, edge_axis))
-        act = prec.q(m + (1 + eps[l]) * h)
-        z = relu(linear(act, params["mlp1_w"][l], params["mlp1_b"][l], prec))
-        z = linear(z, params["mlp2_w"][l], params["mlp2_b"][l], prec)
-        if l != L - 1:
-            z = relu(z)
-        h = z
+        if fused:
+            from ..ops.pallas.fused_layer import gin_layer_fused
+
+            h = gin_layer_fused(
+                msg, batch["blk_vlocal"], batch["blk_window"], h,
+                params["mlp1_w"][l], params["mlp1_b"][l],
+                params["mlp2_w"][l], params["mlp2_b"][l],
+                (1.0 + eps[l]).astype(jnp.float32).reshape(1, 1),
+                PALLAS_WINDOW, final_relu=l != L - 1,
+            )
+        else:
+            m = prec.q(edge_segment_sum(msg, batch, edge_axis))
+            act = prec.q(m + (1 + eps[l]) * h)
+            z = relu(linear(act, params["mlp1_w"][l], params["mlp1_b"][l], prec))
+            z = linear(z, params["mlp2_w"][l], params["mlp2_b"][l], prec)
+            if l != L - 1:
+                z = relu(z)
+            h = z
         inter.append(h)
 
     h_graph = mean_pool(h, batch, prec)

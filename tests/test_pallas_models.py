@@ -37,3 +37,17 @@ def test_blocked_equals_plain(name, graphs16, reference_root):
         np.asarray(blocked)[:3], np.asarray(plain)[:3], rtol=1e-5, atol=1e-5,
         msg=name,
     )
+
+
+def test_gin_fused_layer_equals_plain(graphs16, reference_root):
+    """Opt-in fused scatter+MLP kernel matches the split path."""
+    import jax
+    spec = registry.get("gin")
+    params = spec.loader(os.path.join(reference_root, "GIN"))
+    jp = prepare_params(params, FLOAT32)
+    packed = pack_graphs(graphs16[:3], **CAPS)
+    plain = spec.forward(jp, as_batch(packed), FLOAT32)
+    fused = spec.forward(jp, as_batch(packed, blocked=True), FLOAT32, fused=True)
+    assert_allclose(
+        np.asarray(fused)[:3], np.asarray(plain)[:3], rtol=1e-5, atol=1e-5
+    )
