@@ -34,9 +34,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=20,
                     help="stream passes per trial (amortizes relay RTT)")
     ap.add_argument("--f32", action="store_true")
-    ap.add_argument("--no-pallas", action="store_true",
-                    help="use plain XLA segment-sum instead of the Pallas "
-                         "windowed-scatter kernel (slower scatter, much slower compile)")
+    ap.add_argument("--layout", default=None,
+                    choices=["plain", "blocked", "local"],
+                    help="edge layout: plain XLA scatter, Pallas windowed "
+                         "scatter (default), or the graph-local fully fused "
+                         "kernel (GIN family)")
     ap.add_argument("--node-cap", type=int, default=32768)
     ap.add_argument("--edge-cap", type=int, default=98304)
     ap.add_argument("--graph-cap", type=int, default=2048)
@@ -83,6 +85,7 @@ def main() -> None:
             synthetic_dataset(args.dataset, seed=0, with_eigen=spec.needs_eigen,
                               num_graphs=num_graphs),
         )
+        layout_pre = args.layout or ("local" if name in ("gin", "gin-vn") else "blocked")
         buckets = list(
             pack_dataset(
                 graphs,
@@ -90,9 +93,12 @@ def main() -> None:
                 edge_capacity=args.edge_cap,
                 graph_capacity=args.graph_cap,
                 with_eigen=spec.needs_eigen,
+                align_window=128 if layout_pre == "local" else None,
             )
         )
-        batches = [as_batch(b, blocked=not args.no_pallas) for b in buckets]
+        layout = args.layout or ("local" if name in ("gin", "gin-vn") else "blocked")
+        blocked = {"plain": False, "blocked": True, "local": "local"}[layout]
+        batches = [as_batch(b, blocked=blocked) for b in buckets]
         total_graphs = sum(b.num_graphs for b in buckets)
         total_edges = sum(int(b.n_edge[:-1].sum()) for b in buckets)
 
@@ -113,30 +119,32 @@ def main() -> None:
             "atom_tables" if "atom_tables" in jparams else "proj_w"
         )
 
-        def make_step(batch):
-            def step(carry):
+        def one_pass(carry):
+            c = carry
+            for batch in batches:
                 p = dict(jparams)
-                p[emb_key] = p[emb_key] + carry
+                p[emb_key] = p[emb_key] + c
                 out = spec.forward(p, batch, prec)
-                return carry + out[0, 0] * 0
+                c = c + out[0, 0] * 0
+            return c
 
-            return jax.jit(step)
+        # reps run INSIDE the program (fori_loop with the carry dependency):
+        # one dispatch per trial, so the relay's ~1.5 ms per-call RTT doesn't
+        # inflate per-pass device time.
+        def trial_fn(carry):
+            return jax.lax.fori_loop(
+                0, args.reps, lambda i, c: one_pass(c), carry
+            )
 
-        steps = [make_step(b) for b in batches]
+        trial = jax.jit(trial_fn)
         carry = jnp.zeros((), prec.compute_dtype)
-        c = carry
-        for stp in steps:  # compile + warm every bucket executable
-            c = stp(c)
-        np.asarray(c)
+        np.asarray(trial(carry))  # compile + warm
 
         times = []
         for _ in range(args.trials):
             t0 = time.perf_counter()
-            c = carry
-            for _ in range(args.reps):
-                for stp in steps:
-                    c = stp(c)
-            np.asarray(c)  # one readback forces the whole chain
+            c = trial(carry)
+            np.asarray(c)
             times.append((time.perf_counter() - t0) / args.reps)
         best = min(times)
         total_nodes = sum(int(b.n_node[:-1].sum()) for b in buckets)

@@ -143,3 +143,87 @@ def segment_sum_blocked_reference(
             if blocks.valid[p]:
                 out[base + blocks.v_local[p]] += vals[p]
     return out[:num_nodes]
+
+
+@dataclasses.dataclass
+class LocalBlocks:
+    """Blocked layout for the graph-local fused kernel: edges whose endpoints
+    share a node window (guaranteed for whole graphs under window-aligned
+    packing) carry BOTH in-window endpoint indices, so gather and scatter run
+    as one-hot matmuls against the window's VMEM-resident features. Edges
+    crossing a window boundary (only graphs larger than the window) spill to
+    a small COO tail handled by the plain XLA path."""
+
+    u_local: np.ndarray  # [P] int32 (sentinel ``window`` on pad lanes)
+    v_local: np.ndarray  # [P] int32
+    block_window: np.ndarray  # [num_blocks] int32 non-decreasing
+    edge_perm: np.ndarray  # [P] int32 into the original edge axis (pads → 0)
+    valid: np.ndarray  # [P] bool
+    spill: np.ndarray  # [S] int32 original-edge indices of spill edges
+    window: int
+    block: int
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.block_window.shape[0])
+
+
+def build_local_blocks(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    edge_capacity: int,
+    window: int = 128,
+    block: int = 128,
+    spill_capacity: int = 8192,
+) -> LocalBlocks:
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    real = receivers < num_nodes
+    local_mask = real & (senders // window == receivers // window)
+    spill_idx = np.nonzero(real & ~local_mask)[0].astype(np.int32)
+    if spill_idx.size > spill_capacity:
+        raise ValueError(
+            f"spill capacity {spill_capacity} < {spill_idx.size} crossing edges"
+        )
+    spill = np.zeros(spill_capacity, np.int32)
+    spill[: spill_idx.size] = spill_idx
+    spill_valid_count = spill_idx.size
+
+    num_windows = -(-num_nodes // window)
+    nblocks = blocks_capacity(edge_capacity, num_nodes, window, block)
+    p = nblocks * block
+    u_local = np.full(p, window, np.int32)
+    v_local = np.full(p, window, np.int32)
+    edge_perm = np.zeros(p, np.int32)
+    valid = np.zeros(p, np.bool_)
+    block_window = np.full(nblocks, num_windows - 1, np.int32)
+
+    loc = np.nonzero(local_mask)[0]
+    order = loc[np.argsort(receivers[loc], kind="stable")]
+    wids = receivers[order] // window
+
+    out_lane = out_block = i = 0
+    for w in range(num_windows):
+        j = i
+        while j < len(order) and wids[j] == w:
+            j += 1
+        cnt = j - i
+        for bi in range(max(1, -(-cnt // block))):
+            block_window[out_block] = w
+            lo, hi = i + bi * block, min(i + (bi + 1) * block, j)
+            k = hi - lo
+            if k > 0:
+                idx = order[lo:hi]
+                u_local[out_lane : out_lane + k] = senders[idx] - w * window
+                v_local[out_lane : out_lane + k] = receivers[idx] - w * window
+                edge_perm[out_lane : out_lane + k] = idx
+                valid[out_lane : out_lane + k] = True
+            out_lane += block
+            out_block += 1
+        i = j
+    lb = LocalBlocks(
+        u_local, v_local, block_window, edge_perm, valid, spill, window, block
+    )
+    lb.spill_count = spill_valid_count  # informational
+    return lb

@@ -236,38 +236,136 @@ def pack_graphs(
     )
 
 
+def pack_graphs_aligned(
+    graphs: Sequence[Graph],
+    node_capacity: int,
+    edge_capacity: int,
+    graph_capacity: int,
+    window: int = 128,
+    with_eigen: bool = False,
+) -> PackedGraphs:
+    """Window-aligned packing: no graph smaller than ``window`` straddles a
+    ``window``-node boundary.
+
+    This is the locality contract behind the graph-local fused kernel
+    (ops/pallas/local_layer.py): when a window contains only whole graphs,
+    every one of their edges has BOTH endpoints inside the window, so the
+    per-edge gather and scatter both become in-VMEM one-hot matmuls — the
+    TPU equivalent of the reference keeping a whole graph's state in BRAM
+    (GIN/src/globals.cc). Graphs larger than ``window`` still pack
+    contiguously; their window-crossing edges take the (cheap, rare) spill
+    path. Gap slots between graphs are ordinary pad nodes owned by the pad
+    graph.
+    """
+    total_nodes = sum(g.num_nodes for g in graphs)
+    if total_nodes > node_capacity:
+        raise ValueError(f"node capacity {node_capacity} < {total_nodes}")
+
+    # First pass: compute each graph's node offset with window alignment.
+    offsets = []
+    off = 0
+    for g in graphs:
+        n = g.num_nodes
+        if n <= window:
+            room = window - (off % window)
+            if n > room:
+                off += room  # advance to the next window boundary
+        if off + n > node_capacity:
+            raise ValueError("window alignment exceeded node capacity")
+        offsets.append(off)
+        off += n
+
+    total_edges = sum(g.num_edges for g in graphs)
+    if total_edges > edge_capacity:
+        raise ValueError(f"edge capacity {edge_capacity} < {total_edges}")
+    if len(graphs) > graph_capacity:
+        raise ValueError(f"graph capacity {graph_capacity} < {len(graphs)}")
+
+    node_feat = np.zeros((node_capacity + 1, NUM_ATOM_FEATURES), np.int32)
+    node_graph = np.full(node_capacity + 1, graph_capacity, np.int32)
+    senders = np.full(edge_capacity, node_capacity, np.int32)
+    receivers = np.full(edge_capacity, node_capacity, np.int32)
+    edge_attr = np.zeros((edge_capacity, NUM_BOND_FEATURES), np.int32)
+    n_node = np.zeros(graph_capacity + 1, np.int32)
+    n_edge = np.zeros(graph_capacity + 1, np.int32)
+    node_eigen = np.zeros((node_capacity + 1, 4), np.float32) if with_eigen else None
+
+    edge_off = 0
+    used = 0
+    for i, (g, node_off) in enumerate(zip(graphs, offsets)):
+        n, e = g.num_nodes, g.num_edges
+        node_feat[node_off : node_off + n] = g.node_feat
+        node_graph[node_off : node_off + n] = i
+        senders[edge_off : edge_off + e] = g.edge_index[:, 0] + node_off
+        receivers[edge_off : edge_off + e] = g.edge_index[:, 1] + node_off
+        if g.edge_attr is not None:
+            edge_attr[edge_off : edge_off + e] = g.edge_attr
+        if with_eigen:
+            k = min(4, g.node_eigen.shape[1])
+            node_eigen[node_off : node_off + n, :k] = g.node_eigen[:, :k]
+        n_node[i] = n
+        n_edge[i] = e
+        edge_off += e
+        used = node_off + n
+
+    n_node[graph_capacity] = node_capacity + 1 - int(n_node[:graph_capacity].sum())
+    n_edge[graph_capacity] = edge_capacity - edge_off
+    return PackedGraphs(
+        node_feat, node_graph, senders, receivers, edge_attr, n_node, n_edge, node_eigen
+    )
+
+
 def pack_dataset(
     graphs: Iterable[Graph],
     node_capacity: int,
     edge_capacity: int,
     graph_capacity: int,
     with_eigen: bool = False,
+    align_window: Optional[int] = None,
 ) -> Iterator[PackedGraphs]:
     """Greedy first-fit streaming packer: yields full buckets of fixed shape.
 
     This is the batching analog of the reference's whole-dataset single
     enqueue (GIN/src/host.cc:203-210): the dataset becomes a stream of
     identically-shaped buckets, so XLA compiles exactly once.
+    ``align_window`` switches to window-aligned placement (see
+    pack_graphs_aligned) and accounts for the alignment gaps while filling.
     """
+
+    def aligned_usage(cur: int, n: int) -> int:
+        if align_window and n <= align_window:
+            room = align_window - (cur % align_window)
+            if n > room:
+                cur += room
+        return cur + n
+
+    def flush(bucket):
+        if align_window:
+            return pack_graphs_aligned(
+                bucket, node_capacity, edge_capacity, graph_capacity,
+                align_window, with_eigen,
+            )
+        return pack_graphs(
+            bucket, node_capacity, edge_capacity, graph_capacity, with_eigen
+        )
+
     bucket: list[Graph] = []
     nodes = edges = 0
     for g in graphs:
+        new_nodes = aligned_usage(nodes, g.num_nodes)
         over = (
-            nodes + g.num_nodes > node_capacity
+            new_nodes > node_capacity
             or edges + g.num_edges > edge_capacity
             or len(bucket) >= graph_capacity
         )
         if over and bucket:
-            yield pack_graphs(
-                bucket, node_capacity, edge_capacity, graph_capacity, with_eigen
-            )
+            yield flush(bucket)
             bucket, nodes, edges = [], 0, 0
+            new_nodes = aligned_usage(0, g.num_nodes)
         if g.num_nodes > node_capacity or g.num_edges > edge_capacity:
             raise ValueError("graph larger than bucket capacity")
         bucket.append(g)
-        nodes += g.num_nodes
+        nodes = new_nodes
         edges += g.num_edges
     if bucket:
-        yield pack_graphs(
-            bucket, node_capacity, edge_capacity, graph_capacity, with_eigen
-        )
+        yield flush(bucket)

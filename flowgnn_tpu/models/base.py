@@ -31,12 +31,15 @@ PALLAS_WINDOW = 128
 PALLAS_BLOCK = 128
 
 
-def as_batch(packed: PackedGraphs, blocked: bool = False) -> dict:
+def as_batch(packed: PackedGraphs, blocked=False) -> dict:
     """PackedGraphs → dict of numpy arrays ready for jnp/jit consumption.
 
-    ``blocked=True`` additionally attaches the segment-sorted edge-block
-    layout that routes the models' message reductions through the Pallas
-    windowed-scatter kernel (ops/pallas/spmm.py) instead of XLA scatter.
+    ``blocked=True`` attaches the segment-sorted edge-block layout that
+    routes message reductions through the Pallas windowed-scatter kernel
+    (ops/pallas/spmm.py). ``blocked="local"`` attaches the graph-local
+    layout (requires window-aligned packing — pack_graphs_aligned) that
+    additionally keeps the gather in-window for the fully fused kernel
+    (ops/pallas/local_layer.py); window-crossing edges go to a spill tail.
     """
     batch = {
         "node_feat": packed.node_feat,
@@ -49,6 +52,39 @@ def as_batch(packed: PackedGraphs, blocked: bool = False) -> dict:
     }
     if packed.node_eigen is not None:
         batch["node_eigen"] = packed.node_eigen
+    if blocked == "local":
+        from ..core.blocking import build_local_blocks
+
+        n = packed.node_capacity + 1
+        lb = build_local_blocks(
+            packed.senders, packed.receivers, n, packed.edge_capacity,
+            window=PALLAS_WINDOW, block=PALLAS_BLOCK,
+        )
+        p_lanes = lb.num_blocks * lb.block
+        pad = n - 1
+        s = np.full(p_lanes, pad, np.int32)
+        r = np.full(p_lanes, pad, np.int32)
+        a = np.zeros((p_lanes, packed.edge_attr.shape[1]), np.int32)
+        s[lb.valid] = packed.senders[lb.edge_perm[lb.valid]]
+        r[lb.valid] = packed.receivers[lb.edge_perm[lb.valid]]
+        a[lb.valid] = packed.edge_attr[lb.edge_perm[lb.valid]]
+        sp = lb.spill
+        sp_s = packed.senders[sp].copy()
+        sp_r = packed.receivers[sp].copy()
+        sp_a = packed.edge_attr[sp].copy()
+        # spill slots beyond the real crossing edges are index-0 duplicates;
+        # neutralise them to pad edges.
+        n_sp = getattr(lb, "spill_count", 0)
+        sp_s[n_sp:] = pad
+        sp_r[n_sp:] = pad
+        sp_a[n_sp:] = 0
+        batch["senders"] = np.concatenate([s, sp_s])
+        batch["receivers"] = np.concatenate([r, sp_r])
+        batch["edge_attr"] = np.concatenate([a, sp_a])
+        batch["loc_ulocal"] = lb.u_local
+        batch["loc_vlocal"] = lb.v_local
+        batch["loc_window"] = lb.block_window
+        return batch
     if blocked:
         from ..core.blocking import apply_blocking, build_edge_blocks
 

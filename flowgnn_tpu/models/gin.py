@@ -52,11 +52,30 @@ def forward(
     # measured on v5e it matches the split path (grid overhead dominates at
     # these dims) while compiling ~9x slower — see BENCH.md.
     fused = fused and "blk_vlocal" in batch and edge_axis is None and prec.fixed is None
+    # The graph-local fully fused path (gather+message+scatter+MLP in VMEM)
+    # engages automatically when the batch carries the local layout.
+    local = "loc_ulocal" in batch and edge_axis is None and prec.fixed is None
 
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     inter = [h]
     for l in range(L):
         ee = bond_embed(params["edge_embedding"][l], batch["edge_attr"], prec)
+        if local:
+            from ..ops.pallas.local_layer import gin_local_layer
+
+            P = batch["loc_ulocal"].shape[0]
+            spill_msg = relu(jnp.take(h, u[P:], axis=0) + ee[P:])
+            m_spill = segment_sum(spill_msg, v[P:], n)
+            h = gin_local_layer(
+                ee[:P], batch["loc_ulocal"], batch["loc_vlocal"],
+                batch["loc_window"], h, m_spill,
+                params["mlp1_w"][l], params["mlp1_b"][l],
+                params["mlp2_w"][l], params["mlp2_b"][l],
+                (1.0 + eps[l]).astype(jnp.float32).reshape(1, 1),
+                PALLAS_WINDOW, final_relu=l != L - 1,
+            )
+            inter.append(h)
+            continue
         msg = relu(jnp.take(h, u, axis=0) + ee)
         if fused:
             from ..ops.pallas.fused_layer import gin_layer_fused

@@ -1,0 +1,156 @@
+"""Graph-local fused layer kernel: gather + message + scatter + update, one pass.
+
+The decisive TPU-first design point (measured in BENCH.md: the per-edge
+gather and scatter are each ~6× the MLP cost because they are HBM
+random-access): window-aligned packing (core/graphs.pack_graphs_aligned)
+guarantees whole graphs live inside one 128-node window, so for a window's
+edge block BOTH endpoints are in-window indices and
+
+    h_u   = onehot_u  @ h_window        (gather — MXU)
+    msg   = relu(h_u + ee)              (VPU)
+    acc  += onehot_vᵀ @ msg             (scatter — MXU)
+
+run entirely against VMEM-resident state, with the node-update MLP as the
+epilogue on each window's last block. No [E, D] tensor ever exists in HBM.
+This is the closest TPU analog of the reference keeping a graph's entire
+state in BRAM while scatter PEs and the apply unit stream over it
+(GIN/src/conv_layer.cc:37-58, GIN/src/globals.cc).
+
+Window-crossing edges (graphs larger than the window) arrive pre-reduced as
+a spill-message tensor added in the epilogue.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def local_scatter_apply(
+    ee: jnp.ndarray,  # [P, D] per-lane edge embeddings (blocked local order)
+    u_local: jnp.ndarray,  # [P] int32 in-window source (sentinel on pads)
+    v_local: jnp.ndarray,  # [P] int32 in-window dest (sentinel on pads)
+    block_window: jnp.ndarray,  # [num_blocks] int32 non-decreasing
+    h: jnp.ndarray,  # [num_windows·window, D]
+    m_spill: jnp.ndarray,  # [num_windows·window, D] pre-reduced crossing msgs
+    extras: Sequence[jnp.ndarray],
+    epilogue: Callable,  # (acc_f32, h_win, spill_win, *extra_refs) -> [W, out]
+    window: int,
+    out_dim: int,
+) -> jnp.ndarray:
+    p, d = ee.shape
+    num_blocks = block_window.shape[0]
+    block = p // num_blocks
+    num_windows = h.shape[0] // window
+
+    def kernel(bw_ref, uloc_ref, vloc_ref, ee_ref, h_ref, spill_ref, *rest):
+        out_ref, acc_ref = rest[-2], rest[-1]
+        extra_refs = rest[:-2]
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+        w = bw_ref[b]
+        is_first = jnp.logical_or(b == 0, bw_ref[jnp.maximum(b - 1, 0)] != w)
+        is_last = jnp.logical_or(
+            b == nb - 1, bw_ref[jnp.minimum(b + 1, nb - 1)] != w
+        )
+
+        @pl.when(is_first)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        msg = jnp.maximum(h_u + ee_ref[:].astype(jnp.float32), 0).astype(
+            h_ref.dtype
+        )
+        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot_v, msg,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(is_last)
+        def _():
+            out_ref[:] = epilogue(
+                acc_ref[:], h_ref[:], spill_ref[:], *extra_refs
+            ).astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda b, bw: (b, 0)),
+            pl.BlockSpec((block, 1), lambda b, bw: (b, 0)),
+            pl.BlockSpec((block, d), lambda b, bw: (b, 0)),
+            pl.BlockSpec((window, d), lambda b, bw: (bw[b], 0)),
+            pl.BlockSpec((window, d), lambda b, bw: (bw[b], 0)),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in extras],
+        ],
+        out_specs=pl.BlockSpec((window, out_dim), lambda b, bw: (bw[b], 0)),
+        scratch_shapes=[pltpu.VMEM((window, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, out_dim), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * p * window * d,
+            bytes_accessed=(p + 3 * num_windows * window) * d * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(block_window, u_local[:, None], v_local[:, None], ee, h, m_spill, *extras)
+
+
+def gin_local_layer(
+    ee: jnp.ndarray,
+    u_local: jnp.ndarray,
+    v_local: jnp.ndarray,
+    block_window: jnp.ndarray,
+    h: jnp.ndarray,  # [n, D]
+    m_spill: jnp.ndarray,  # [n, D]
+    w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray,
+    eps1: jnp.ndarray,  # [1, 1] f32 = 1 + ε
+    window: int,
+    final_relu: bool,
+) -> jnp.ndarray:
+    """One whole GIN layer against window-local state."""
+    n, d = h.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        m_spill = jnp.pad(m_spill, ((0, pad), (0, 0)))
+
+    def epilogue(acc, h_win, spill_win, w1_ref, b1_ref, w2_ref, b2_ref, eps_ref):
+        act = (
+            acc
+            + spill_win.astype(jnp.float32)
+            + eps_ref[0, 0] * h_win.astype(jnp.float32)
+        ).astype(h.dtype)
+        z = jax.lax.dot_general(
+            act, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[:].astype(jnp.float32)
+        z = jnp.maximum(z, 0).astype(h.dtype)
+        out = jax.lax.dot_general(
+            z, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[:].astype(jnp.float32)
+        if final_relu:
+            out = jnp.maximum(out, 0)
+        return out
+
+    out = local_scatter_apply(
+        ee, u_local, v_local, block_window, h, m_spill,
+        (w1, b1[None, :], w2, b2[None, :], eps1),
+        epilogue, window, d,
+    )
+    return out[:n]

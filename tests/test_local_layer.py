@@ -1,0 +1,102 @@
+"""Graph-local fused path: aligned packing invariants + model equivalence."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import assert_allclose
+from flowgnn_tpu.core.blocking import build_local_blocks
+from flowgnn_tpu.core.graphs import pack_graphs, pack_graphs_aligned
+from flowgnn_tpu.core.numerics import FLOAT32
+from flowgnn_tpu.core.synthetic import synthetic_molhiv
+from flowgnn_tpu.models import registry
+from flowgnn_tpu.models.base import as_batch, prepare_params
+
+CAPS = dict(node_capacity=1024, edge_capacity=4096, graph_capacity=32)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("FLOWGNN_PALLAS_INTERPRET", "1")
+
+
+def test_aligned_packing_no_straddle(graphs16):
+    packed = pack_graphs_aligned(graphs16, window=128, **CAPS)
+    # Every graph smaller than the window occupies exactly one window.
+    node_graph = packed.node_graph[:-1]
+    for gid in range(16):
+        rows = np.nonzero(node_graph == gid)[0]
+        assert rows.size == graphs16[gid].num_nodes
+        assert rows.max() - rows.min() + 1 == rows.size  # contiguous
+        if rows.size <= 128:
+            assert rows.min() // 128 == rows.max() // 128, f"graph {gid} straddles"
+    # Crossing edges can only come from graphs larger than the window.
+    lb = build_local_blocks(
+        packed.senders, packed.receivers, 1025, 4096, 128, 128
+    )
+    if not any(g.num_nodes > 128 for g in graphs16):
+        assert lb.spill_count == 0
+
+
+def test_local_blocks_cover_all_edges(graphs16):
+    packed = pack_graphs_aligned(graphs16, window=128, **CAPS)
+    lb = build_local_blocks(packed.senders, packed.receivers, 1025, 4096, 128, 128)
+    total_real = int((packed.receivers < 1025).sum())
+    assert int(lb.valid.sum()) + lb.spill_count == total_real
+    # u_local/v_local reconstruct the original endpoints.
+    lane_block = np.arange(lb.u_local.shape[0]) // lb.block
+    w = lb.block_window[lane_block]
+    ru = w * 128 + lb.u_local
+    rv = w * 128 + lb.v_local
+    np.testing.assert_array_equal(
+        ru[lb.valid], packed.senders[lb.edge_perm[lb.valid]]
+    )
+    np.testing.assert_array_equal(
+        rv[lb.valid], packed.receivers[lb.edge_perm[lb.valid]]
+    )
+
+
+@pytest.mark.parametrize("name", ["gin", "gin-vn"])
+def test_local_fused_equals_plain(name, graphs16, reference_root):
+    spec = registry.get(name)
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:4])
+    small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
+    plain = spec.forward(
+        jp, as_batch(pack_graphs(tg, **small)), FLOAT32
+    )
+    local = spec.forward(
+        jp,
+        as_batch(pack_graphs_aligned(tg, window=128, **small), blocked="local"),
+        FLOAT32,
+    )
+    assert_allclose(
+        np.asarray(local)[:4], np.asarray(plain)[:4], rtol=1e-5, atol=1e-5,
+        msg=name,
+    )
+
+
+def test_local_fused_with_spill(reference_root):
+    """Graphs larger than the window exercise the spill path."""
+    rng_graphs = synthetic_molhiv(6, seed=123)
+    from flowgnn_tpu.core.synthetic import random_molecule_graph
+    import numpy as np_
+
+    big = [random_molecule_graph(np_.random.default_rng(5), num_nodes=170),
+           random_molecule_graph(np_.random.default_rng(6), num_nodes=200)]
+    graphs = rng_graphs[:4] + big
+    spec = registry.get("gin")
+    params = spec.loader(os.path.join(reference_root, "GIN"))
+    jp = prepare_params(params, FLOAT32)
+    small = dict(node_capacity=1024, edge_capacity=4096, graph_capacity=8)
+    plain = spec.forward(jp, as_batch(pack_graphs(graphs, **small)), FLOAT32)
+    packed = pack_graphs_aligned(graphs, window=128, **small)
+    from flowgnn_tpu.core.blocking import build_local_blocks as blb
+
+    lb = blb(packed.senders, packed.receivers, 1025, 4096, 128, 128)
+    assert lb.spill_count > 0  # the big graphs must actually cross windows
+    local = spec.forward(jp, as_batch(packed, blocked="local"), FLOAT32)
+    assert_allclose(np.asarray(local)[:6], np.asarray(plain)[:6],
+                    rtol=1e-5, atol=1e-5)
