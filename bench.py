@@ -46,6 +46,11 @@ def main() -> None:
 
     import jax
 
+    # Persistent compilation cache: repeat benches skip the (minutes-long)
+    # remote compile of scatter-heavy programs.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from flowgnn_tpu.bench.roofline import report as roofline_report
     from flowgnn_tpu.core.graphs import pack_dataset
     from flowgnn_tpu.core.numerics import BF16, FLOAT32
