@@ -90,7 +90,7 @@ def main() -> None:
             synthetic_dataset(args.dataset, seed=0, with_eigen=spec.needs_eigen,
                               num_graphs=num_graphs),
         )
-        layout_pre = args.layout or ("local" if name in ("gin", "gin-vn") else "blocked")
+        layout_pre = args.layout or ("local" if name == "gin" else "blocked")
         buckets = list(
             pack_dataset(
                 graphs,
@@ -98,11 +98,13 @@ def main() -> None:
                 edge_capacity=args.edge_cap,
                 graph_capacity=args.graph_cap,
                 with_eigen=spec.needs_eigen,
-                align_window=128 if layout_pre == "local" else None,
+                align_window=512 if layout_pre == "local" else None,
             )
         )
-        layout = args.layout or ("local" if name in ("gin", "gin-vn") else "blocked")
-        blocked = {"plain": False, "blocked": True, "local": "local"}[layout]
+        # local_ell wins for GIN; GIN-VN's virtual-node star doubles edge
+        # density and measures slightly better on the windowed-scatter path.
+        layout = args.layout or ("local" if name == "gin" else "blocked")
+        blocked = {"plain": False, "blocked": True, "local": "local_ell"}[layout]
         batches = [as_batch(b, blocked=blocked) for b in buckets]
         total_graphs = sum(b.num_graphs for b in buckets)
         total_edges = sum(int(b.n_edge[:-1].sum()) for b in buckets)

@@ -27,8 +27,12 @@ from ..ops.segment import segment_sum
 # ops/pallas/spmm.py). window == block == 128 keeps the one-hot scatter
 # matmul on the MXU's native tile and lets the kernel infer the block size
 # from array shapes alone.
-PALLAS_WINDOW = 128
+PALLAS_WINDOW = 128   # dynamic-mapping paths (windowed scatter / local)
 PALLAS_BLOCK = 128
+# ELL static-grid local path (measured optimum on v5e — BENCH.md). K is
+# auto-sized per bucket from the edge-density distribution.
+PALLAS_ELL_WINDOW = 512
+PALLAS_ELL_BLOCK = 1536
 
 
 def as_batch(packed: PackedGraphs, blocked=False) -> dict:
@@ -52,14 +56,20 @@ def as_batch(packed: PackedGraphs, blocked=False) -> dict:
     }
     if packed.node_eigen is not None:
         batch["node_eigen"] = packed.node_eigen
-    if blocked == "local":
-        from ..core.blocking import build_local_blocks
+    if blocked in ("local", "local_ell"):
+        from ..core.blocking import build_local_blocks, build_local_blocks_ell
 
         n = packed.node_capacity + 1
-        lb = build_local_blocks(
-            packed.senders, packed.receivers, n, packed.edge_capacity,
-            window=PALLAS_WINDOW, block=PALLAS_BLOCK,
-        )
+        if blocked == "local_ell":
+            lb = build_local_blocks_ell(
+                packed.senders, packed.receivers, n,
+                window=PALLAS_ELL_WINDOW, block=PALLAS_ELL_BLOCK,
+            )
+        else:
+            lb = build_local_blocks(
+                packed.senders, packed.receivers, n, packed.edge_capacity,
+                window=PALLAS_WINDOW, block=PALLAS_BLOCK,
+            )
         p_lanes = lb.num_blocks * lb.block
         pad = n - 1
         s = np.full(p_lanes, pad, np.int32)
@@ -83,7 +93,10 @@ def as_batch(packed: PackedGraphs, blocked=False) -> dict:
         batch["edge_attr"] = np.concatenate([a, sp_a])
         batch["loc_ulocal"] = lb.u_local
         batch["loc_vlocal"] = lb.v_local
-        batch["loc_window"] = lb.block_window
+        if blocked == "local_ell":
+            batch["loc_ell"] = np.zeros(0, np.int32)  # marker: static grid
+        else:
+            batch["loc_window"] = lb.block_window
         return batch
     if blocked:
         from ..core.blocking import apply_blocking, build_edge_blocks
@@ -133,10 +146,21 @@ def num_graphs_static(batch: dict) -> int:
 
 
 def atom_embed(table: jnp.ndarray, node_feat: jnp.ndarray, prec: Precision) -> jnp.ndarray:
-    """h0[v] = Σ_f AtomTable[offset_f + feat_f[v]] (GIN/src/load_inputs.cc:174-220)."""
+    """h0[v] = Σ_f AtomTable[offset_f + feat_f[v]] (GIN/src/load_inputs.cc:174-220).
+
+    Formulated as a multi-hot [N, 173] × table matmul: the 9-row gather is
+    HBM-latency bound (~480 µs/bucket profiled) while the one-hot compares +
+    MXU matmul run in ~1/3 the time — and it is the same sum, exactly.
+    """
     rows = node_feat + jnp.asarray(ATOM_FEATURE_OFFSETS)[None, :]
-    h = jnp.take(table, rows, axis=0).sum(axis=1)
-    return prec.q(h.astype(prec.compute_dtype))
+    vocab = table.shape[0]
+    iota = jnp.arange(vocab, dtype=jnp.int32)[None, None, :]
+    multihot = (rows[:, :, None] == iota).astype(prec.compute_dtype).sum(axis=1)
+    h = jnp.dot(
+        multihot, table.astype(prec.compute_dtype),
+        preferred_element_type=acc_dtype(prec),
+    ).astype(prec.compute_dtype)
+    return prec.q(h)
 
 
 def bond_embed(table_l: jnp.ndarray, edge_attr: jnp.ndarray, prec: Precision) -> jnp.ndarray:

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
+from . import base as _base
 from .base import (
-    PALLAS_WINDOW,
     atom_embed,
     bond_embed,
     edge_segment_sum,
@@ -58,7 +58,37 @@ def forward(
 
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     inter = [h]
+    ell = local and "loc_ell" in batch
+    if ell:
+        # In-kernel edge embedding: pre-offset the bond features once
+        # ({0,5,11} — GIN/src/message_passing.cc:3).
+        from ..core.features import BOND_FEATURE_OFFSETS
+
+        attr_off = batch["edge_attr"] + jnp.asarray(BOND_FEATURE_OFFSETS)[None, :]
     for l in range(L):
+        if ell:
+            P = batch["loc_ulocal"].shape[0]
+            from ..ops.pallas.local_layer import gin_local_layer_ell
+
+            ee_spill = bond_embed(
+                params["edge_embedding"][l], batch["edge_attr"][P:], prec
+            )
+            spill_msg = relu(jnp.take(h, u[P:], axis=0) + ee_spill)
+            m_spill = segment_sum(spill_msg, v[P:], n)
+            h = gin_local_layer_ell(
+                None, batch["loc_ulocal"], batch["loc_vlocal"], h, m_spill,
+                params["mlp1_w"][l], params["mlp1_b"][l],
+                params["mlp2_w"][l], params["mlp2_b"][l],
+                (1.0 + eps[l]).astype(jnp.float32).reshape(1, 1),
+                _base.PALLAS_ELL_WINDOW,
+                batch["loc_ulocal"].shape[0]
+                // (-(-n // _base.PALLAS_ELL_WINDOW) * _base.PALLAS_ELL_BLOCK),
+                final_relu=l != L - 1,
+                edge_attr=attr_off[:P],
+                ee_table=params["edge_embedding"][l].astype(prec.compute_dtype),
+            )
+            inter.append(h)
+            continue
         ee = bond_embed(params["edge_embedding"][l], batch["edge_attr"], prec)
         if local:
             from ..ops.pallas.local_layer import gin_local_layer
@@ -66,13 +96,13 @@ def forward(
             P = batch["loc_ulocal"].shape[0]
             spill_msg = relu(jnp.take(h, u[P:], axis=0) + ee[P:])
             m_spill = segment_sum(spill_msg, v[P:], n)
+            eps1 = (1.0 + eps[l]).astype(jnp.float32).reshape(1, 1)
             h = gin_local_layer(
                 ee[:P], batch["loc_ulocal"], batch["loc_vlocal"],
                 batch["loc_window"], h, m_spill,
                 params["mlp1_w"][l], params["mlp1_b"][l],
                 params["mlp2_w"][l], params["mlp2_b"][l],
-                (1.0 + eps[l]).astype(jnp.float32).reshape(1, 1),
-                PALLAS_WINDOW, final_relu=l != L - 1,
+                eps1, _base.PALLAS_WINDOW, final_relu=l != L - 1,
             )
             inter.append(h)
             continue
@@ -85,7 +115,7 @@ def forward(
                 params["mlp1_w"][l], params["mlp1_b"][l],
                 params["mlp2_w"][l], params["mlp2_b"][l],
                 (1.0 + eps[l]).astype(jnp.float32).reshape(1, 1),
-                PALLAS_WINDOW, final_relu=l != L - 1,
+                _base.PALLAS_WINDOW, final_relu=l != L - 1,
             )
         else:
             m = prec.q(edge_segment_sum(msg, batch, edge_axis))

@@ -154,3 +154,203 @@ def gin_local_layer(
         epilogue, window, d,
     )
     return out[:n]
+
+
+def local_scatter_apply_ell(
+    ee: jnp.ndarray,  # [NW·K·B, D]
+    u_local: jnp.ndarray,  # [NW·K·B]
+    v_local: jnp.ndarray,  # [NW·K·B]
+    h: jnp.ndarray,  # [NW·W, D]
+    m_spill: jnp.ndarray,  # [NW·W, D]
+    extras: Sequence[jnp.ndarray],
+    epilogue: Callable,
+    window: int,
+    k_blocks: int,
+    out_dim: int,
+) -> jnp.ndarray:
+    """ELL-grid variant: (num_windows, k_blocks) grid with static index maps
+    — no scalar prefetch, ~3× lower per-block overhead (BENCH.md)."""
+    p, d = ee.shape
+    num_windows = h.shape[0] // window
+    block = p // (num_windows * k_blocks)
+
+    def kernel(uloc_ref, vloc_ref, ee_ref, h_ref, spill_ref, *rest):
+        out_ref, acc_ref = rest[-2], rest[-1]
+        extra_refs = rest[:-2]
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        msg = jnp.maximum(h_u + ee_ref[:].astype(jnp.float32), 0).astype(
+            h_ref.dtype
+        )
+        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot_v, msg,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == k_blocks - 1)
+        def _():
+            out_ref[:] = epilogue(
+                acc_ref[:], h_ref[:], spill_ref[:], *extra_refs
+            ).astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(num_windows, k_blocks),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, d), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((window, d), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, d), lambda w, k: (w, 0)),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in extras],
+        ],
+        out_specs=pl.BlockSpec((window, out_dim), lambda w, k: (w, 0)),
+        scratch_shapes=[pltpu.VMEM((window, d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, out_dim), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * p * window * d,
+            bytes_accessed=(p + 3 * num_windows * window) * d * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(u_local[:, None], v_local[:, None], ee, h, m_spill, *extras)
+
+
+def local_scatter_apply_ell_attr(
+    edge_attr: jnp.ndarray,  # [NW·K·B, 3] int32 bond features (+offsets applied)
+    ee_table: jnp.ndarray,  # [13, D] this layer's bond-embedding table
+    u_local: jnp.ndarray,
+    v_local: jnp.ndarray,
+    h: jnp.ndarray,
+    m_spill: jnp.ndarray,
+    extras: Sequence[jnp.ndarray],
+    epilogue: Callable,
+    window: int,
+    k_blocks: int,
+    out_dim: int,
+) -> jnp.ndarray:
+    """ELL local kernel with IN-KERNEL edge embedding: per block a multi-hot
+    [B, 13] (three ones per lane — the 3 bond features against the
+    concatenated table, GIN/src/message_passing.cc:136-146) matmuls the
+    [13, D] table on the MXU, so the [E, D] edge-embedding tensor never
+    exists (profiled at ~220 µs/layer of pure HBM traffic in the XLA form)."""
+    p, _ = edge_attr.shape
+    d = h.shape[1]
+    num_windows = h.shape[0] // window
+    block = p // (num_windows * k_blocks)
+    vocab = ee_table.shape[0]
+
+    def kernel(attr_ref, uloc_ref, vloc_ref, ee_tab_ref, h_ref, spill_ref, *rest):
+        out_ref, acc_ref = rest[-2], rest[-1]
+        extra_refs = rest[:-2]
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+        vlanes = jax.lax.broadcasted_iota(jnp.int32, (block, vocab), 1)
+        multihot = (
+            (attr_ref[:, 0][:, None] == vlanes).astype(h_ref.dtype)
+            + (attr_ref[:, 1][:, None] == vlanes).astype(h_ref.dtype)
+            + (attr_ref[:, 2][:, None] == vlanes).astype(h_ref.dtype)
+        )
+        ee = jnp.dot(
+            multihot, ee_tab_ref[:], preferred_element_type=jnp.float32
+        )
+        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        msg = jnp.maximum(h_u + ee, 0).astype(h_ref.dtype)
+        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot_v, msg,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == k_blocks - 1)
+        def _():
+            out_ref[:] = epilogue(
+                acc_ref[:], h_ref[:], spill_ref[:], *extra_refs
+            ).astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(num_windows, k_blocks),
+        in_specs=[
+            pl.BlockSpec((block, 3), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((window, d), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, d), lambda w, k: (w, 0)),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in extras],
+        ],
+        out_specs=pl.BlockSpec((window, out_dim), lambda w, k: (w, 0)),
+        scratch_shapes=[pltpu.VMEM((window, d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, out_dim), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * p * window * d,
+            bytes_accessed=(p + 3 * num_windows * window) * d * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(edge_attr, u_local[:, None], v_local[:, None], ee_table, h, m_spill,
+      *extras)
+
+
+def gin_local_layer_ell(
+    ee, u_local, v_local, h, m_spill,
+    w1, b1, w2, b2, eps1, window, k_blocks, final_relu,
+    edge_attr=None, ee_table=None,
+):
+    """GIN layer over the ELL local layout (static grid). If ``edge_attr``
+    and ``ee_table`` are given, the edge embedding is computed in-kernel and
+    ``ee`` is ignored."""
+    n, d = h.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        m_spill = jnp.pad(m_spill, ((0, pad), (0, 0)))
+
+    def epilogue(acc, h_win, spill_win, w1_ref, b1_ref, w2_ref, b2_ref, eps_ref):
+        act = (
+            acc + spill_win.astype(jnp.float32)
+            + eps_ref[0, 0] * h_win.astype(jnp.float32)
+        ).astype(h.dtype)
+        z = jax.lax.dot_general(
+            act, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[:].astype(jnp.float32)
+        z = jnp.maximum(z, 0).astype(h.dtype)
+        out = jax.lax.dot_general(
+            z, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[:].astype(jnp.float32)
+        if final_relu:
+            out = jnp.maximum(out, 0)
+        return out
+
+    extras = (w1, b1[None, :], w2, b2[None, :], eps1)
+    if edge_attr is not None:
+        out = local_scatter_apply_ell_attr(
+            edge_attr, ee_table, u_local, v_local, h, m_spill,
+            extras, epilogue, window, k_blocks, d,
+        )
+    else:
+        out = local_scatter_apply_ell(
+            ee, u_local, v_local, h, m_spill,
+            extras, epilogue, window, k_blocks, d,
+        )
+    return out[:n]

@@ -42,7 +42,8 @@ def test_aligned_packing_no_straddle(graphs16):
 def test_local_blocks_cover_all_edges(graphs16):
     packed = pack_graphs_aligned(graphs16, window=128, **CAPS)
     lb = build_local_blocks(packed.senders, packed.receivers, 1025, 4096, 128, 128)
-    total_real = int((packed.receivers < 1025).sum())
+    # Row 1024 is the pad node; edges targeting it are dropped by design.
+    total_real = int((packed.receivers < 1024).sum())
     assert int(lb.valid.sum()) + lb.spill_count == total_real
     # u_local/v_local reconstruct the original endpoints.
     lane_block = np.arange(lb.u_local.shape[0]) // lb.block
@@ -99,4 +100,54 @@ def test_local_fused_with_spill(reference_root):
     assert lb.spill_count > 0  # the big graphs must actually cross windows
     local = spec.forward(jp, as_batch(packed, blocked="local"), FLOAT32)
     assert_allclose(np.asarray(local)[:6], np.asarray(plain)[:6],
+                    rtol=1e-5, atol=1e-5)
+
+
+def test_local_ell_equals_plain(graphs16, reference_root):
+    """Static ELL-grid local kernel matches the plain path (incl. spill)."""
+    spec = registry.get("gin")
+    params = spec.loader(os.path.join(reference_root, "GIN"))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:4])
+    small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
+    plain = spec.forward(jp, as_batch(pack_graphs(tg, **small)), FLOAT32)
+    ell = spec.forward(
+        jp,
+        as_batch(pack_graphs_aligned(tg, window=128, **small),
+                 blocked="local_ell"),
+        FLOAT32,
+    )
+    assert_allclose(np.asarray(ell)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5)
+
+
+def test_local_ell_overflow_spills(reference_root):
+    """A window denser than K·B edges overflows into the spill tail."""
+    import flowgnn_tpu.models.base as base
+    from flowgnn_tpu.core.blocking import build_local_blocks_ell
+
+    # One dense graph: 100 nodes, ~every pair connected both ways would be
+    # 9900 edges > K·B = 512 → overflow guaranteed with a few hundred.
+    rng = np.random.default_rng(0)
+    n = 100
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)][:400]
+    ei = np.array([(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+                  np.int32)
+    from flowgnn_tpu.core.graphs import Graph
+
+    g = Graph(
+        np.zeros((n, 9), np.int32), ei,
+        np.zeros((ei.shape[0], 3), np.int32),
+    )
+    small = dict(node_capacity=256, edge_capacity=1024, graph_capacity=4)
+    packed = pack_graphs_aligned([g], window=128, **small)
+    lb = build_local_blocks_ell(packed.senders, packed.receivers, 257,
+                                k_blocks=4)
+    assert lb.spill_count > 0
+    spec = registry.get("gin")
+    params = spec.loader(os.path.join(reference_root, "GIN"))
+    jp = prepare_params(params, FLOAT32)
+    plain = spec.forward(jp, as_batch(pack_graphs([g], **small)), FLOAT32)
+    ell = spec.forward(jp, as_batch(packed, blocked="local_ell"), FLOAT32)
+    assert_allclose(np.asarray(ell)[:1], np.asarray(plain)[:1],
                     rtol=1e-5, atol=1e-5)
