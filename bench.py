@@ -90,7 +90,9 @@ def main() -> None:
             synthetic_dataset(args.dataset, seed=0, with_eigen=spec.needs_eigen,
                               num_graphs=num_graphs),
         )
-        layout_pre = args.layout or ("local" if name == "gin" else "blocked")
+        layout_pre = args.layout or (
+            "local" if name in ("gin", "gcn", "dgn") else "blocked"
+        )
         buckets = list(
             pack_dataset(
                 graphs,
@@ -101,9 +103,12 @@ def main() -> None:
                 align_window=512 if layout_pre == "local" else None,
             )
         )
-        # local_ell wins for GIN; GIN-VN's virtual-node star doubles edge
-        # density and measures slightly better on the windowed-scatter path.
-        layout = args.layout or ("local" if name == "gin" else "blocked")
+        # local_ell wins for GIN/GCN/DGN; GIN-VN's virtual-node star doubles
+        # edge density and measures slightly better on the windowed scatter;
+        # GAT/PNA local kernels are a round-2 item.
+        layout = args.layout or (
+            "local" if name in ("gin", "gcn", "dgn") else "blocked"
+        )
         blocked = {"plain": False, "blocked": True, "local": "local_ell"}[layout]
         batches = [as_batch(b, blocked=blocked) for b in buckets]
         total_graphs = sum(b.num_graphs for b in buckets)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
+from . import base as _base
 from .base import edge_segment_sum, linear, mean_pool, out_degree, relu
 
 EIG_EPS = 1.0 / 8192  # ap_fixed_epsilon<ap_fixed<16,3>> (DGN/src/node_embedding.cc:125)
@@ -51,15 +52,35 @@ def forward(
     # (DGN/src/node_embedding.cc:145); clamp for isolated nodes (message 0).
     deg = jnp.maximum(out_degree(batch, edge_axis), 1).astype(dt)[:, None]
 
+    local = "loc_ell" in batch and edge_axis is None and prec.fixed is None
+    if local:
+        P = batch["loc_ulocal"].shape[0]
+        nw = -(-n // _base.PALLAS_ELL_WINDOW)
+        k_blocks = P // (nw * _base.PALLAS_ELL_BLOCK)
+
     h = _atom_embed_dgn(params["atom_tables"], batch["node_feat"], prec)
     inter = [h]
     for l in range(L):
-        x = jnp.take(h, u, axis=0)
-        d = x.shape[1]
-        mm = edge_segment_sum(
-            jnp.concatenate([x, eig_w[:, None] * x], axis=1), batch, edge_axis
-        )
-        m1, m2 = prec.q(mm[:, :d]), prec.q(mm[:, d:])
+        if local:
+            from ..ops.pallas.local_layer import dgn_local_message_ell
+
+            x_sp = jnp.take(h, u[P:], axis=0)
+            sp = jnp.concatenate([x_sp, eig_w[P:][:, None] * x_sp], axis=1)
+            m_spill = segment_sum(sp, v[P:], n)
+            d = h.shape[1]
+            m1_loc, m2_loc = dgn_local_message_ell(
+                batch["loc_ulocal"], batch["loc_vlocal"], h, eig,
+                _base.PALLAS_ELL_WINDOW, k_blocks,
+            )
+            m1 = prec.q(m1_loc + m_spill[:, :d])
+            m2 = prec.q(m2_loc + m_spill[:, d:])
+        else:
+            x = jnp.take(h, u, axis=0)
+            d = x.shape[1]
+            mm = edge_segment_sum(
+                jnp.concatenate([x, eig_w[:, None] * x], axis=1), batch, edge_axis
+            )
+            m1, m2 = prec.q(mm[:, :d]), prec.q(mm[:, d:])
         a1 = prec.q(m1 / deg)
         a2 = prec.q(jnp.abs(m2 - eigw_sum[:, None] * h) / eig_abssum[:, None])
         # Fused two-channel linear: concat channels → one MXU matmul against

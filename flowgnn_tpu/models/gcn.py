@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
+from . import base as _base
 from .base import atom_embed, bond_embed, edge_segment_sum, linear, mean_pool, out_degree, relu
 
 # Device BatchNorm uses sqrt(var + ap_fixed ulp) (GCN/src/load_inputs.cc:33).
@@ -34,7 +35,23 @@ def forward(
 
     deg = out_degree(batch, edge_axis).astype(prec.compute_dtype)
     dis = 1.0 / jnp.sqrt(deg + 1)
-    norm = prec.q((jnp.take(dis, u) * jnp.take(dis, v))[:, None])
+    # Graph-local ELL kernel path: norms are gathered in-window, so the
+    # per-edge norm array is only needed for the spill tail.
+    local = "loc_ell" in batch and edge_axis is None and prec.fixed is None
+    if local:
+        from ..core.features import BOND_FEATURE_OFFSETS
+
+        P = batch["loc_ulocal"].shape[0]
+        nw = -(-n // _base.PALLAS_ELL_WINDOW)
+        k_blocks = P // (nw * _base.PALLAS_ELL_BLOCK)
+        attr_off = (
+            batch["edge_attr"][:P] + jnp.asarray(BOND_FEATURE_OFFSETS)[None, :]
+        )
+        norm_spill = prec.q(
+            (jnp.take(dis, u[P:]) * jnp.take(dis, v[P:]))[:, None]
+        )
+    else:
+        norm = prec.q((jnp.take(dis, u) * jnp.take(dis, v))[:, None])
 
     def bn(x, l):
         s = jnp.sqrt(params["bn_var"][l] + BN_EPS)
@@ -53,9 +70,25 @@ def forward(
     for l in range(L):
         a = h if l == 0 else relu(tail(m, h, l - 1))
         h = linear(a, params["conv_w"][l], params["conv_b"][l], prec)
-        ee = bond_embed(params["edge_embedding"][l], batch["edge_attr"], prec)
-        msg = norm * relu(jnp.take(h, u, axis=0) + ee)
-        m = prec.q(edge_segment_sum(msg, batch, edge_axis))
+        if local:
+            from ..ops.pallas.local_layer import gcn_local_message_ell
+
+            ee_spill = bond_embed(
+                params["edge_embedding"][l], batch["edge_attr"][P:], prec
+            )
+            spill_msg = norm_spill * relu(jnp.take(h, u[P:], axis=0) + ee_spill)
+            m_spill = segment_sum(spill_msg, v[P:], n)
+            m_loc = gcn_local_message_ell(
+                attr_off,
+                params["edge_embedding"][l].astype(prec.compute_dtype),
+                batch["loc_ulocal"], batch["loc_vlocal"], h, dis,
+                _base.PALLAS_ELL_WINDOW, k_blocks,
+            )
+            m = prec.q(m_loc + m_spill)
+        else:
+            ee = bond_embed(params["edge_embedding"][l], batch["edge_attr"], prec)
+            msg = norm * relu(jnp.take(h, u, axis=0) + ee)
+            m = prec.q(edge_segment_sum(msg, batch, edge_axis))
         inter.append(h)
 
     a = tail(m, h, L - 1)  # final tail has no ReLU (GCN/src/finalize.cc:88-96)

@@ -354,3 +354,140 @@ def gin_local_layer_ell(
             extras, epilogue, window, k_blocks, d,
         )
     return out[:n]
+
+
+def gcn_local_message_ell(
+    edge_attr: jnp.ndarray,  # [P, 3] int32 (offsets applied)
+    ee_table: jnp.ndarray,  # [13, D]
+    u_local: jnp.ndarray,
+    v_local: jnp.ndarray,
+    h: jnp.ndarray,  # [n, D]
+    dis: jnp.ndarray,  # [n] per-node 1/sqrt(deg+1)
+    window: int,
+    k_blocks: int,
+) -> jnp.ndarray:
+    """GCN message reduction m[v] = Σ dis_u·dis_v·relu(h_u + ee) against
+    window-local state (GCN/src/message_passing.cc:148-167 + the norm from
+    GCN/src/load_inputs.cc:121-163). Norm factors are gathered in-window via
+    the same one-hot matmuls. Returns [n, D]."""
+    n, d = h.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
+    dis2 = jnp.pad(dis[:, None], ((0, pad), (0, 0))) if pad else dis[:, None]
+    p = edge_attr.shape[0]
+    block = p // (num_windows * k_blocks)
+    vocab = ee_table.shape[0]
+
+    def kernel(attr_ref, uloc_ref, vloc_ref, tab_ref, h_ref, dis_ref,
+               out_ref, acc_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+        vlanes = jax.lax.broadcasted_iota(jnp.int32, (block, vocab), 1)
+        multihot = (
+            (attr_ref[:, 0][:, None] == vlanes).astype(h_ref.dtype)
+            + (attr_ref[:, 1][:, None] == vlanes).astype(h_ref.dtype)
+            + (attr_ref[:, 2][:, None] == vlanes).astype(h_ref.dtype)
+        )
+        ee = jnp.dot(multihot, tab_ref[:], preferred_element_type=jnp.float32)
+        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        dis_u = jnp.dot(onehot_u, dis_ref[:], preferred_element_type=jnp.float32)
+        dis_v = jnp.dot(onehot_v, dis_ref[:], preferred_element_type=jnp.float32)
+        msg = (dis_u * dis_v * jnp.maximum(h_u + ee, 0)).astype(h_ref.dtype)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot_v, msg,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == k_blocks - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows, k_blocks),
+        in_specs=[
+            pl.BlockSpec((block, 3), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((window, d), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, 1), lambda w, k: (w, 0)),
+        ],
+        out_specs=pl.BlockSpec((window, d), lambda w, k: (w, 0)),
+        scratch_shapes=[pltpu.VMEM((window, d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), h.dtype),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(edge_attr, u_local[:, None], v_local[:, None], ee_table, hp, dis2)
+    return out[:n]
+
+
+def dgn_local_message_ell(
+    u_local: jnp.ndarray,
+    v_local: jnp.ndarray,
+    h: jnp.ndarray,  # [n, D]
+    eig: jnp.ndarray,  # [n] eigenvector component 1
+    window: int,
+    k_blocks: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DGN two-channel messages m1[v] = Σ h_u, m2[v] = Σ (eig_u − eig_v)·h_u
+    (DGN/src/message_passing.cc:120-153) against window-local state.
+    Returns ([n, D], [n, D])."""
+    n, d = h.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
+    eig2 = jnp.pad(eig[:, None], ((0, pad), (0, 0))) if pad else eig[:, None]
+    p = u_local.shape[0]
+    block = p // (num_windows * k_blocks)
+
+    def kernel(uloc_ref, vloc_ref, h_ref, eig_ref, out_ref, acc_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        eig_u = jnp.dot(onehot_u, eig_ref[:], preferred_element_type=jnp.float32)
+        eig_v = jnp.dot(onehot_v, eig_ref[:], preferred_element_type=jnp.float32)
+        w_lane = eig_u - eig_v
+        both = jnp.concatenate(
+            [h_u, w_lane * h_u], axis=1
+        ).astype(h_ref.dtype)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot_v, both,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == k_blocks - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows, k_blocks),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((window, d), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, 1), lambda w, k: (w, 0)),
+        ],
+        out_specs=pl.BlockSpec((window, 2 * d), lambda w, k: (w, 0)),
+        scratch_shapes=[pltpu.VMEM((window, 2 * d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, 2 * d), h.dtype),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(u_local[:, None], v_local[:, None], hp, eig2)
+    return out[:n, :d], out[:n, d:]

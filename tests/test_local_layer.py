@@ -151,3 +151,27 @@ def test_local_ell_overflow_spills(reference_root):
     ell = spec.forward(jp, as_batch(packed, blocked="local_ell"), FLOAT32)
     assert_allclose(np.asarray(ell)[:1], np.asarray(plain)[:1],
                     rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["gcn", "dgn"])
+def test_gcn_dgn_local_ell_equals_plain(name, graphs16, reference_root):
+    spec = registry.get(name)
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:4])
+    small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
+    plain = spec.forward(
+        jp, as_batch(pack_graphs(tg, with_eigen=spec.needs_eigen, **small)),
+        FLOAT32,
+    )
+    ell = spec.forward(
+        jp,
+        as_batch(
+            pack_graphs_aligned(tg, window=128,
+                                with_eigen=spec.needs_eigen, **small),
+            blocked="local_ell",
+        ),
+        FLOAT32,
+    )
+    assert_allclose(np.asarray(ell)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5, msg=name)
