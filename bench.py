@@ -91,7 +91,7 @@ def main() -> None:
                               num_graphs=num_graphs),
         )
         layout_pre = args.layout or (
-            "local" if name in ("gin", "gcn", "dgn") else "blocked"
+            "local" if name in ("gin", "gcn", "dgn", "gat") else "blocked"
         )
         buckets = list(
             pack_dataset(
@@ -103,11 +103,11 @@ def main() -> None:
                 align_window=512 if layout_pre == "local" else None,
             )
         )
-        # local_ell wins for GIN/GCN/DGN; GIN-VN's virtual-node star doubles
-        # edge density and measures slightly better on the windowed scatter;
-        # GAT/PNA local kernels are a round-2 item.
+        # local_ell wins for GIN/GCN/DGN/GAT; GIN-VN's virtual-node star
+        # doubles edge density and measures slightly better on the windowed
+        # scatter; PNA's local kernel (min/max channels) is a round-2 item.
         layout = args.layout or (
-            "local" if name in ("gin", "gcn", "dgn") else "blocked"
+            "local" if name in ("gin", "gcn", "dgn", "gat") else "blocked"
         )
         blocked = {"plain": False, "blocked": True, "local": "local_ell"}[layout]
         batches = [as_batch(b, blocked=blocked) for b in buckets]

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
+from . import base as _base
 from .base import edge_segment_sum, linear, mean_pool
 
 LEAKY_SLOPE = 0.2
@@ -65,19 +66,49 @@ def forward(
     s_src = _scores(h, params["a_src"][0], prec)
     s_tgt = _scores(h, params["a_tgt"][0], prec)
 
+    local = "loc_ell" in batch and edge_axis is None and prec.fixed is None
+    if local:
+        P = batch["loc_ulocal"].shape[0]
+        nw = -(-n // _base.PALLAS_ELL_WINDOW)
+        k_blocks = P // (nw * _base.PALLAS_ELL_BLOCK)
+
     inter = [h]
     out_feat = None
     for l in range(L):
-        raw = jnp.take(s_src, v, axis=0) + jnp.take(s_tgt, u, axis=0)  # [E, H]
-        score = prec.q(jnp.exp(jnp.where(raw < 0, raw * LEAKY_SLOPE, raw)))
-        # One fused reduction: [E, H·D] scored features ++ [E, H] scores, so
-        # the Pallas path scatters both in a single kernel pass.
-        scored = (score[:, :, None] * jnp.take(h, u, axis=0)).reshape(-1, H * D)
-        both = edge_segment_sum(
-            jnp.concatenate([scored, score], axis=1), batch, edge_axis
-        )
-        msg = both[:, : H * D].reshape(n, H, D)
-        denom = both[:, H * D :]
+        if local:
+            from ..ops.pallas.local_layer import gat_local_message_ell
+
+            raw_sp = jnp.take(s_src, v[P:], axis=0) + jnp.take(
+                s_tgt, u[P:], axis=0
+            )
+            sc_sp = jnp.exp(jnp.where(raw_sp < 0, raw_sp * LEAKY_SLOPE, raw_sp))
+            # Mask pad spill lanes (u == v == pad node would score 1).
+            sc_sp = sc_sp * (v[P:] < n - 1)[:, None].astype(sc_sp.dtype)
+            h_sp = jnp.take(h, u[P:], axis=0).reshape(-1, H * D)
+            sp_both = segment_sum(
+                jnp.concatenate(
+                    [jnp.repeat(sc_sp, D, axis=1) * h_sp, sc_sp], axis=1
+                ),
+                v[P:], n,
+            )
+            both = gat_local_message_ell(
+                batch["loc_ulocal"], batch["loc_vlocal"],
+                h.reshape(n, H * D), s_src, s_tgt,
+                _base.PALLAS_ELL_WINDOW, k_blocks, H,
+            ) + sp_both
+            msg = prec.q(both[:, : H * D]).reshape(n, H, D)
+            denom = both[:, H * D :]
+        else:
+            raw = jnp.take(s_src, v, axis=0) + jnp.take(s_tgt, u, axis=0)  # [E, H]
+            score = prec.q(jnp.exp(jnp.where(raw < 0, raw * LEAKY_SLOPE, raw)))
+            # One fused reduction: [E, H·D] scored features ++ [E, H] scores,
+            # so the Pallas path scatters both in a single kernel pass.
+            scored = (score[:, :, None] * jnp.take(h, u, axis=0)).reshape(-1, H * D)
+            both = edge_segment_sum(
+                jnp.concatenate([scored, score], axis=1), batch, edge_axis
+            )
+            msg = both[:, : H * D].reshape(n, H, D)
+            denom = both[:, H * D :]
         # Pad nodes receive no edges; keep the division defined.
         msg = prec.q(msg / jnp.where(denom == 0, 1, denom)[:, :, None])
         skip = _project(params["skip_w"][l], prev, prec)

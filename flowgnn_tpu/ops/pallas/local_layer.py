@@ -491,3 +491,90 @@ def dgn_local_message_ell(
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
     )(u_local[:, None], v_local[:, None], hp, eig2)
     return out[:n, :d], out[:n, d:]
+
+
+def gat_local_message_ell(
+    u_local: jnp.ndarray,
+    v_local: jnp.ndarray,
+    h: jnp.ndarray,  # [n, H·D] projected features, head-major flat
+    s_src: jnp.ndarray,  # [n, H] attention source scores (indexed by DEST v)
+    s_tgt: jnp.ndarray,  # [n, H]
+    window: int,
+    k_blocks: int,
+    num_heads: int,
+) -> jnp.ndarray:
+    """GAT edge-softmax numerator+denominator against window-local state.
+
+    Per edge (u→v): score = exp(leakyrelu_0.2(s_src[v] + s_tgt[u])) per head
+    (GAT/src/message_passing.cc:122-148 — raw exp, reference-faithful);
+    accumulates [Σ score⊗h_u ‖ Σ score] per dest. All gathers are in-window
+    one-hot matmuls; the [E, H·D] scored tensor never exists in HBM.
+    Returns [n, H·D + H] (caller divides by the trailing score sums).
+    """
+    n, hd = h.shape
+    d = hd // num_heads
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        s_src = jnp.pad(s_src, ((0, pad), (0, 0)))
+        s_tgt = jnp.pad(s_tgt, ((0, pad), (0, 0)))
+    p = u_local.shape[0]
+    block = p // (num_windows * k_blocks)
+    out_dim = hd + num_heads
+
+    def kernel(uloc_ref, vloc_ref, h_ref, ssrc_ref, stgt_ref, out_ref, acc_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        s1 = jnp.dot(onehot_v, ssrc_ref[:], preferred_element_type=jnp.float32)
+        s2 = jnp.dot(onehot_u, stgt_ref[:], preferred_element_type=jnp.float32)
+        raw = s1 + s2
+        score = jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+        # Sentinel lanes have all-zero one-hots → raw = 0 → score = 1; mask
+        # them out so they don't pollute the denominators.
+        valid = (vloc_ref[:, 0] < window)[:, None].astype(jnp.float32)
+        score = score * valid
+        # Per-head broadcast score [B, H] → [B, H·D] via a constant 0/1
+        # expansion matrix on the MXU (element-repeat reshapes are awkward
+        # in-kernel; this is two iotas and a tiny matmul).
+        cols = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 1) // d
+        rows = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 0)
+        expand = (cols == rows).astype(jnp.float32)
+        scorex = jnp.dot(score, expand, preferred_element_type=jnp.float32)
+        both = jnp.concatenate([scorex * h_u, score], axis=1).astype(
+            h_ref.dtype
+        )
+        acc_ref[:] += jax.lax.dot_general(
+            onehot_v, both,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == k_blocks - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows, k_blocks),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((window, hd), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, num_heads), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, num_heads), lambda w, k: (w, 0)),
+        ],
+        out_specs=pl.BlockSpec((window, out_dim), lambda w, k: (w, 0)),
+        scratch_shapes=[pltpu.VMEM((window, out_dim), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, out_dim), h.dtype),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(u_local[:, None], v_local[:, None], h, s_src, s_tgt)
+    return out[:n]

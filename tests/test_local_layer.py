@@ -175,3 +175,20 @@ def test_gcn_dgn_local_ell_equals_plain(name, graphs16, reference_root):
     )
     assert_allclose(np.asarray(ell)[:4], np.asarray(plain)[:4],
                     rtol=1e-5, atol=1e-5, msg=name)
+
+
+def test_gat_local_ell_equals_plain(graphs16, reference_root):
+    spec = registry.get("gat")
+    params = spec.loader(os.path.join(reference_root, "GAT"))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:4])
+    small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
+    plain = spec.forward(jp, as_batch(pack_graphs(tg, **small)), FLOAT32)
+    ell = spec.forward(
+        jp,
+        as_batch(pack_graphs_aligned(tg, window=128, **small),
+                 blocked="local_ell"),
+        FLOAT32,
+    )
+    assert_allclose(np.asarray(ell)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5)
