@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument("--model", default="gin", help="gin|gin-vn|gcn|gat|pna|dgn|all")
     ap.add_argument("--dataset", default="molhiv", help="molhiv|molpcba|hep10k (synthetic profile)")
     ap.add_argument("--graphs", type=int, default=None, help="override graph count")
-    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--trials", type=int, default=5)  # relay-variance guard: report best-of
     ap.add_argument("--reps", type=int, default=20,
                     help="stream passes per trial (amortizes relay RTT)")
     ap.add_argument("--f32", action="store_true")

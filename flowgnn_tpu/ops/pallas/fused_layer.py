@@ -14,7 +14,6 @@ its own update math over the same scatter skeleton.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Callable, Sequence
 
