@@ -91,7 +91,7 @@ def main() -> None:
                               num_graphs=num_graphs),
         )
         layout_pre = args.layout or (
-            "local" if name in ("gin", "gcn", "dgn", "gat") else "blocked"
+            "local" if name in ("gin", "gcn", "dgn", "gat", "pna") else "blocked"
         )
         buckets = list(
             pack_dataset(
@@ -103,13 +103,16 @@ def main() -> None:
                 align_window=512 if layout_pre == "local" else None,
             )
         )
-        # local_ell wins for GIN/GCN/DGN/GAT; GIN-VN's virtual-node star
-        # doubles edge density and measures slightly better on the windowed
-        # scatter; PNA's local kernel (min/max channels) is a round-2 item.
+        # local kernels win everywhere except GIN-VN, whose virtual-node
+        # star doubles edge density and measures slightly better on the
+        # windowed scatter. PNA uses the dest-major slot layout.
         layout = args.layout or (
-            "local" if name in ("gin", "gcn", "dgn", "gat") else "blocked"
+            "local" if name in ("gin", "gcn", "dgn", "gat", "pna") else "blocked"
         )
-        blocked = {"plain": False, "blocked": True, "local": "local_ell"}[layout]
+        blocked = {
+            "plain": False, "blocked": True,
+            "local": "local_slots" if name == "pna" else "local_ell",
+        }[layout]
         batches = [as_batch(b, blocked=blocked) for b in buckets]
         total_graphs = sum(b.num_graphs for b in buckets)
         total_edges = sum(int(b.n_edge[:-1].sum()) for b in buckets)

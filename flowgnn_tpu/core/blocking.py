@@ -302,3 +302,56 @@ def build_local_blocks_ell(
     lb.spill_count = int(spill_idx.size)
     lb.k_blocks = k_blocks
     return lb
+
+
+def build_local_slots(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    window: int = 512,
+    slots: int = 8,
+    spill_capacity: int = 32768,
+):
+    """Dest-major slot layout for multi-aggregator local kernels (PNA).
+
+    Within each node window, every destination row owns up to ``slots``
+    in-edge slots holding the *in-window source index* (sentinel ``window``
+    when empty). Per slot the kernel builds one [W, W] one-hot gather, so
+    min/max/sum/sum² all reduce DENSELY over the slot axis — the layout that
+    makes PNA's running min/max (PNA/src/message_passing.cc:121-147) a TPU
+    elementwise op instead of a scatter. In-degree overflow and
+    window-crossing edges go to the spill tail.
+
+    Returns (u_slot [NW·S·W] int32, spill [spill_capacity] int32,
+    spill_count int).
+    """
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    real = receivers < num_nodes - 1
+    local_mask = real & (senders // window == receivers // window)
+    num_windows = -(-num_nodes // window)
+
+    u_slot = np.full(num_windows * slots * window, window, np.int32)
+    counts = np.zeros(num_nodes, np.int32)
+    overflow = []
+    loc = np.nonzero(local_mask)[0]
+    for e in loc:
+        v = receivers[e]
+        c = counts[v]
+        if c >= slots:
+            overflow.append(e)
+            continue
+        counts[v] = c + 1
+        w = v // window
+        r = v - w * window
+        u_slot[(w * slots + c) * window + r] = senders[e] - w * window
+
+    spill_idx = np.concatenate(
+        [np.nonzero(real & ~local_mask)[0].astype(np.int32),
+         np.asarray(overflow, np.int32)]
+    ) if (overflow or (real & ~local_mask).any()) else np.zeros(0, np.int32)
+    if spill_idx.size > spill_capacity:
+        raise ValueError(f"spill capacity {spill_capacity} < {spill_idx.size}")
+    spill = np.zeros(spill_capacity, np.int32)
+    spill[: spill_idx.size] = spill_idx
+    return u_slot, spill, int(spill_idx.size)

@@ -33,6 +33,7 @@ PALLAS_BLOCK = 128
 # auto-sized per bucket from the edge-density distribution.
 PALLAS_ELL_WINDOW = 512
 PALLAS_ELL_BLOCK = 1536
+PALLAS_SLOTS = 8  # dest-major in-edge slots (PNA stats kernel)
 
 
 def as_batch(packed: PackedGraphs, blocked=False) -> dict:
@@ -56,6 +57,20 @@ def as_batch(packed: PackedGraphs, blocked=False) -> dict:
     }
     if packed.node_eigen is not None:
         batch["node_eigen"] = packed.node_eigen
+    if blocked == "local_slots":
+        from ..core.blocking import build_local_slots
+
+        n = packed.node_capacity + 1
+        u_slot, spill, count = build_local_slots(
+            packed.senders, packed.receivers, n,
+            window=PALLAS_ELL_WINDOW, slots=PALLAS_SLOTS,
+        )
+        batch["slot_uslot"] = u_slot
+        batch["slot_spill"] = spill
+        batch["slot_spill_mask"] = (
+            np.arange(spill.shape[0]) < count
+        )
+        return batch
     if blocked in ("local", "local_ell"):
         from ..core.blocking import build_local_blocks, build_local_blocks_ell
 

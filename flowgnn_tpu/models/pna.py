@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_max, segment_min, segment_sum
+from . import base as _base
 from .base import atom_embed, edge_segment_sum, in_degree, linear, mean_pool, out_degree, relu
 
 # ap_fixed<16,6> extremes used to seed the running min/max accumulators
@@ -55,15 +56,23 @@ def forward(
         mx = segment_max(x, v, n, MIN_INIT, edge_axis)
         mean = prec.q(s / in_deg)
         std = prec.q(jnp.sqrt(relu(prec.q(s2 / in_deg) - mean * mean)))
-        # [n, aggr, dim] in enum order (mean, min, max, std) — PNA/src/dcl.h:29-35.
-        stats = jnp.stack([mean, mn, mx, std], axis=1)
-        # [n, scaler, aggr, dim]: (1, t, scale).
-        scaled = jnp.stack(
-            [stats, stats * t[:, None], stats * scale[:, None]], axis=1
+        # [n, 4·dim] in enum order (mean, min, max, std) — PNA/src/dcl.h:29-35.
+        stats = jnp.concatenate([mean, mn, mx, std], axis=1)
+        # The tower is linear in the stats, so the three scalers distribute:
+        #   acc = W_none·stats + t·(W_t·stats) + scale·(W_scale·stats)
+        # — three [4D→D] matmuls instead of materialising the [n, 12·D]
+        # scaled-stats tensor (saves ~120 MB of stack copies per layer).
+        wl = params["conv_w"][l]  # [D_out, 3, 4, D_in]
+        d_out = wl.shape[0]
+        w_none = wl[:, 0].reshape(d_out, -1)
+        w_t = wl[:, 1].reshape(d_out, -1)
+        w_scale = wl[:, 2].reshape(d_out, -1)
+        acc = (
+            linear(stats, w_none, params["conv_b"][l], prec)
+            + t * linear(stats, w_t, None, prec)
+            + scale * linear(stats, w_scale, None, prec)
         )
-        # One fused tower: flatten (scaler, aggr, dim_in) → single MXU matmul.
-        w = params["conv_w"][l].reshape(params["conv_w"].shape[1], -1)
-        acc = linear(scaled.reshape(n, -1), w, params["conv_b"][l], prec)
+        acc = prec.q(acc)
         h = prec.q(h + relu(acc))
         inter.append(h)
 

@@ -578,3 +578,75 @@ def gat_local_message_ell(
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
     )(u_local[:, None], v_local[:, None], h, s_src, s_tgt)
     return out[:n]
+
+
+def pna_local_stats_ell(
+    u_slot: jnp.ndarray,  # [NW·S·W] dest-major slot sources (sentinel=window)
+    h: jnp.ndarray,  # [n, D]
+    window: int,
+    slots: int,
+    min_init: float,
+    max_init: float,
+) -> jnp.ndarray:
+    """PNA's four running aggregates (sum, sum², min, max —
+    PNA/src/message_passing.cc:121-147) against window-local state.
+
+    Grid (num_windows, slots): per step one [W, W] one-hot gathers every
+    dest row's slot-s in-edge source, and all four statistics update as
+    DENSE elementwise ops over the slot axis — the layout transposition
+    that removes scatter-min/max entirely (XLA's lowering of those was both
+    slow and minutes-long to compile). Returns [n, 4·D] channels
+    (sum ‖ sum² ‖ min ‖ max), seeded at the reference's ap_fixed extremes.
+    """
+    n, d = h.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
+
+    def kernel(uslot_ref, h_ref, out_ref, sum_ref, sq_ref, mn_ref, mx_ref):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            sum_ref[:] = jnp.zeros_like(sum_ref)
+            sq_ref[:] = jnp.zeros_like(sq_ref)
+            mn_ref[:] = jnp.full_like(mn_ref, min_init)
+            mx_ref[:] = jnp.full_like(mx_ref, max_init)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (window, window), 1)
+        onehot = (uslot_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        h_u = jnp.dot(onehot, h_ref[:], preferred_element_type=jnp.float32)
+        valid = (uslot_ref[:, 0] < window)[:, None].astype(jnp.float32)
+        sum_ref[:] += h_u * valid
+        sq_ref[:] += h_u * h_u * valid
+        mn_ref[:] = jnp.minimum(
+            mn_ref[:], jnp.where(valid > 0, h_u, min_init)
+        )
+        mx_ref[:] = jnp.maximum(
+            mx_ref[:], jnp.where(valid > 0, h_u, max_init)
+        )
+
+        @pl.when(s == slots - 1)
+        def _():
+            out_ref[:] = jnp.concatenate(
+                [sum_ref[:], sq_ref[:], mn_ref[:], mx_ref[:]], axis=1
+            ).astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows, slots),
+        in_specs=[
+            pl.BlockSpec((window, 1), lambda w, s: (w * slots + s, 0)),
+            pl.BlockSpec((window, d), lambda w, s: (w, 0)),
+        ],
+        out_specs=pl.BlockSpec((window, 4 * d), lambda w, s: (w, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((window, d), jnp.float32),
+            pltpu.VMEM((window, d), jnp.float32),
+            pltpu.VMEM((window, d), jnp.float32),
+            pltpu.VMEM((window, d), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, 4 * d), h.dtype),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(u_slot[:, None], hp)
+    return out[:n]

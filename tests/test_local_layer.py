@@ -192,3 +192,44 @@ def test_gat_local_ell_equals_plain(graphs16, reference_root):
     )
     assert_allclose(np.asarray(ell)[:4], np.asarray(plain)[:4],
                     rtol=1e-5, atol=1e-5)
+
+
+def test_pna_local_slots_equals_plain(graphs16, reference_root):
+    spec = registry.get("pna")
+    params = spec.loader(os.path.join(reference_root, "PNA"))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:4])
+    small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
+    plain = spec.forward(jp, as_batch(pack_graphs(tg, **small)), FLOAT32)
+    slotted = spec.forward(
+        jp,
+        as_batch(pack_graphs_aligned(tg, window=512, **small),
+                 blocked="local_slots"),
+        FLOAT32,
+    )
+    assert_allclose(np.asarray(slotted)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5)
+
+
+def test_pna_local_slots_overflow(reference_root):
+    """In-degree above the slot budget must spill, not corrupt."""
+    from flowgnn_tpu.core.graphs import Graph
+
+    # star: node 0 has 20 in-edges (> 8 slots)
+    n = 24
+    ei = np.array([(i, 0) for i in range(1, 21)] + [(0, i) for i in range(1, 21)],
+                  np.int32)
+    g = Graph(np.zeros((n, 9), np.int32), ei, None)
+    spec = registry.get("pna")
+    params = spec.loader(os.path.join(reference_root, "PNA"))
+    jp = prepare_params(params, FLOAT32)
+    small = dict(node_capacity=512, edge_capacity=256, graph_capacity=4)
+    plain = spec.forward(jp, as_batch(pack_graphs([g], **small)), FLOAT32)
+    slotted = spec.forward(
+        jp,
+        as_batch(pack_graphs_aligned([g], window=512, **small),
+                 blocked="local_slots"),
+        FLOAT32,
+    )
+    assert_allclose(np.asarray(slotted)[:1], np.asarray(plain)[:1],
+                    rtol=1e-5, atol=1e-5)
