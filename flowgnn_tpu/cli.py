@@ -51,10 +51,14 @@ def run_case(
     reference_root: str,
     num_graphs: int | None = None,
     caps=(8192, 24576, 512),
-    use_pallas: bool = False,
+    layout: str | None = None,
     trace_dir: str | None = None,
 ) -> dict:
     import jax
+
+    # Repeat runs skip the slow remote compile (see bench.py).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from .core.graphs import pack_dataset
     from .models import registry
@@ -64,6 +68,14 @@ def run_case(
     params = spec.loader(os.path.join(reference_root, spec.reference_dir))
     jparams = prepare_params(params, prec)
     graphs = registry.apply_transforms(spec, _load_graphs(dataset, spec, num_graphs))
+    # Same model-dependent defaults as bench.py.
+    if layout is None:
+        layout = "local" if name in ("gin", "gcn", "dgn", "gat", "pna") else "blocked"
+    blocked = {
+        "plain": False,
+        "blocked": True,
+        "local": "local_slots" if name == "pna" else "local_ell",
+    }[layout]
     buckets = list(
         pack_dataset(
             graphs,
@@ -71,10 +83,11 @@ def run_case(
             edge_capacity=caps[1],
             graph_capacity=caps[2],
             with_eigen=spec.needs_eigen,
+            align_window=512 if layout == "local" else None,
         )
     )
     batches = [
-        jax.tree_util.tree_map(jax.device_put, as_batch(b, blocked=use_pallas))
+        jax.tree_util.tree_map(jax.device_put, as_batch(b, blocked=blocked))
         for b in buckets
     ]
     counts = [b.num_graphs for b in buckets]
@@ -141,7 +154,11 @@ def main(argv=None) -> None:
                      help="'synth', a profile (molhiv|molpcba|hep10k), or a "
                           "reference-layout dataset dir")
     run.add_argument("--pallas", action="store_true",
-                     help="use the Pallas windowed-scatter kernel path")
+                     help="alias for --layout blocked")
+    run.add_argument("--layout", default=None,
+                     choices=["plain", "blocked", "local"],
+                     help="edge layout (default: model-dependent, same as "
+                          "bench.py)")
     run.add_argument("--trace", default=None,
                      help="capture a jax.profiler trace into this logdir")
     run.add_argument("--num-graphs", type=int, default=None)
@@ -158,9 +175,10 @@ def main(argv=None) -> None:
     names = list(registry.MODELS) if args.model == "all" else [args.model]
     results = []
     for name in names:
+        layout = args.layout or ("blocked" if args.pallas else None)
         r = run_case(
             name, args.dataset, args.trials, args.out, prec, args.reference,
-            args.num_graphs, use_pallas=args.pallas, trace_dir=args.trace,
+            args.num_graphs, layout=layout, trace_dir=args.trace,
         )
         results.append(r)
         print(

@@ -310,8 +310,11 @@ def build_local_slots(
     num_nodes: int,
     window: int = 512,
     slots: int = 8,
-    spill_capacity: int = 32768,
+    spill_capacity: int = 4096,
 ):
+    # Note: the spill tail feeds XLA segment-min/max, whose TPU lowering
+    # compiles pathologically slowly with size — keep the tail small
+    # (molecular graphs rarely overflow 8 in-edge slots).
     """Dest-major slot layout for multi-aggregator local kernels (PNA).
 
     Within each node window, every destination row owns up to ``slots``
