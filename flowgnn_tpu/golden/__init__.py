@@ -18,28 +18,27 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _INCLUDE = os.path.join(_HERE, "include")
 
-KERNEL_SOURCES = [
-    "GIN_compute.cc",
-    "conv_layer.cc",
-    "message_passing.cc",
-    "node_embedding.cc",
-    "finalize.cc",
-    "linear.cc",
-    "load_inputs.cc",
-    "globals.cc",
-]
+KERNEL_SOURCES = {
+    "GIN": ["GIN_compute.cc", "conv_layer.cc", "message_passing.cc",
+            "node_embedding.cc", "finalize.cc", "linear.cc",
+            "load_inputs.cc", "globals.cc"],
+    "GCN": ["GCN_compute.cc", "conv_layer.cc", "message_passing.cc",
+            "node_embedding.cc", "finalize.cc", "linear.cc",
+            "load_inputs.cc", "globals.cc"],
+}
 
 
-def build_gin_golden(
-    reference_root: str = "/root/reference", out_path: Optional[str] = None
+def build_golden(
+    model: str, reference_root: str = "/root/reference",
+    out_path: Optional[str] = None,
 ) -> Optional[str]:
-    """Compile the golden GIN binary; returns its path or None on failure."""
-    src_dir = os.path.join(reference_root, "GIN", "src")
+    """Compile a model's golden binary; returns its path or None on failure."""
+    src_dir = os.path.join(reference_root, model, "src")
     if not os.path.isdir(src_dir):
         return None
-    out_path = out_path or os.path.join(_HERE, "gin_golden")
-    sources = [os.path.join(src_dir, s) for s in KERNEL_SOURCES]
-    sources.append(os.path.join(_HERE, "gin_main.cc"))
+    out_path = out_path or os.path.join(_HERE, f"{model.lower()}_golden")
+    sources = [os.path.join(src_dir, s) for s in KERNEL_SOURCES[model]]
+    sources.append(os.path.join(_HERE, f"{model.lower()}_main.cc"))
     newest_dep = max(
         os.path.getmtime(p)
         for p in sources + [os.path.join(_INCLUDE, h) for h in os.listdir(_INCLUDE)]
@@ -59,14 +58,20 @@ def build_gin_golden(
     return out_path
 
 
-def run_gin_golden(
-    dataset_dir: str, num_graphs: int, reference_root: str = "/root/reference"
+def build_gin_golden(reference_root: str = "/root/reference",
+                     out_path: Optional[str] = None) -> Optional[str]:
+    return build_golden("GIN", reference_root, out_path)
+
+
+def run_golden(
+    model: str, dataset_dir: str, num_graphs: int,
+    reference_root: str = "/root/reference",
 ) -> np.ndarray:
-    """Run the golden binary; returns per-graph predictions [num_graphs]."""
-    binary = build_gin_golden(reference_root)
+    """Run a model's golden binary; returns per-graph predictions."""
+    binary = build_golden(model, reference_root)
     if binary is None:
         raise RuntimeError("golden binary unavailable")
-    weights_dir = os.path.join(reference_root, "GIN")
+    weights_dir = os.path.join(reference_root, model)
     res = subprocess.run(
         [binary, dataset_dir, str(num_graphs), weights_dir],
         check=True, capture_output=True, text=True,
@@ -77,3 +82,9 @@ def run_gin_golden(
             idx, val = line.split(":")
             out[int(idx[1:]) - 1] = float(val)
     return out
+
+
+def run_gin_golden(
+    dataset_dir: str, num_graphs: int, reference_root: str = "/root/reference"
+) -> np.ndarray:
+    return run_golden("GIN", dataset_dir, num_graphs, reference_root)
