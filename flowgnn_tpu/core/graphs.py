@@ -301,6 +301,8 @@ def pack_graphs_aligned(
         if g.edge_attr is not None:
             edge_attr[edge_off : edge_off + e] = g.edge_attr
         if with_eigen:
+            if g.node_eigen is None:
+                raise ValueError("with_eigen=True but graph has no node_eigen")
             k = min(4, g.node_eigen.shape[1])
             node_eigen[node_off : node_off + n, :k] = g.node_eigen[:, :k]
         n_node[i] = n

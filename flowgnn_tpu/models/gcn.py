@@ -7,6 +7,11 @@ fuses the final tail (no ReLU) into pooling (GCN/src/finalize.cc:39-113);
 expressed sequentially here, same math. Messages are norm-scaled
 relu(h_u + ee_l) with norm_uv = 1/√(deg_u+1)/√(deg_v+1)
 (GCN/src/load_inputs.cc:121-163, GCN/src/message_passing.cc:148-167).
+
+Documented deviation: the reference leaves degree_inv_sqrt[v]=0 for nodes
+never seen as a source (norm=0 on their in-edges); we use 1/sqrt(0+1)=1.
+Identical on symmetric OGB edge lists, divergent on directed inputs (see
+reference/oracles.py:gcn_forward).
 """
 
 from __future__ import annotations

@@ -45,15 +45,49 @@ def forward(
         jnp.where(log_deg > 0, avg_deg / jnp.where(log_deg > 0, log_deg, 1), 1.0)
     )
 
+    # Dest-major slot path: the Pallas kernel computes all four running
+    # aggregates densely over in-edge slots (ops/pallas/local_layer.py:
+    # pna_local_stats_ell); slot-overflow and window-crossing edges arrive
+    # through the spill tail and are merged with XLA segment ops.
+    slots = "slot_uslot" in batch and edge_axis is None and prec.fixed is None
+    if slots:
+        sp = batch["slot_spill"]
+        sp_mask = batch["slot_spill_mask"]
+        # Masked-out spill lanes are index-0 duplicates; neutralise them by
+        # routing both endpoints at the pad node (row n-1, never read).
+        sp_u = jnp.where(sp_mask, u[sp], n - 1)
+        sp_v = jnp.where(sp_mask, v[sp], n - 1)
+
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     inter = [h]
     for l in range(L):
-        x = jnp.take(h, u, axis=0)
-        d = x.shape[1]
-        ss = edge_segment_sum(jnp.concatenate([x, x * x], axis=1), batch, edge_axis)
-        s, s2 = ss[:, :d], ss[:, d:]
-        mn = segment_min(x, v, n, MAX_INIT, edge_axis)
-        mx = segment_max(x, v, n, MIN_INIT, edge_axis)
+        d = h.shape[1]
+        if slots:
+            from .base import PALLAS_ELL_WINDOW, PALLAS_SLOTS
+            from ..ops.pallas.local_layer import pna_local_stats_ell
+
+            # Kernel arg order: (min-accumulator seed, max-accumulator seed)
+            # = (upper extreme, lower extreme) — PNA/src/util.h ap_fixed_min/max.
+            st = pna_local_stats_ell(
+                batch["slot_uslot"], h, PALLAS_ELL_WINDOW, PALLAS_SLOTS,
+                MAX_INIT, MIN_INIT,
+            )
+            s, s2 = st[:, :d], st[:, d : 2 * d]
+            x_sp = jnp.take(h, sp_u, axis=0)
+            s = s + segment_sum(x_sp, sp_v, n)
+            s2 = s2 + segment_sum(x_sp * x_sp, sp_v, n)
+            mn = jnp.minimum(st[:, 2 * d : 3 * d],
+                             segment_min(x_sp, sp_v, n, MAX_INIT))
+            mx = jnp.maximum(st[:, 3 * d :],
+                             segment_max(x_sp, sp_v, n, MIN_INIT))
+        else:
+            x = jnp.take(h, u, axis=0)
+            ss = edge_segment_sum(
+                jnp.concatenate([x, x * x], axis=1), batch, edge_axis
+            )
+            s, s2 = ss[:, :d], ss[:, d:]
+            mn = segment_min(x, v, n, MAX_INIT, edge_axis)
+            mx = segment_max(x, v, n, MIN_INIT, edge_axis)
         mean = prec.q(s / in_deg)
         std = prec.q(jnp.sqrt(relu(prec.q(s2 / in_deg) - mean * mean)))
         # [n, 4·dim] in enum order (mean, min, max, std) — PNA/src/dcl.h:29-35.

@@ -104,6 +104,12 @@ def gcn_forward(params: dict, g: Graph, bn_eps: float = 1.0 / 1024) -> dict:
     fused into pooling (GCN/src/finalize.cc:39-113). ``bn_eps`` defaults to
     the device's ap_fixed ulp (GCN/src/load_inputs.cc:33 uses
     sqrt(var + ap_fixed_epsilon)).
+
+    Documented deviation: the reference computes degree_inv_sqrt only for
+    nodes it sees as a *source*, leaving dis[v]=0 (norm=0 on in-edges) for
+    out-degree-0 receivers (GCN/src/load_inputs.cc:121-131); oracle and JAX
+    model use 1/sqrt(deg+1)=1 there. Identical on symmetric OGB edge lists,
+    divergent on directed inputs.
     """
     u, v = g.edge_index[:, 0], g.edge_index[:, 1]
     deg = _out_degree(g).astype(F)

@@ -201,14 +201,20 @@ def test_pna_local_slots_equals_plain(graphs16, reference_root):
     tg = registry.apply_transforms(spec, graphs16[:4])
     small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
     plain = spec.forward(jp, as_batch(pack_graphs(tg, **small)), FLOAT32)
-    slotted = spec.forward(
-        jp,
-        as_batch(pack_graphs_aligned(tg, window=512, **small),
-                 blocked="local_slots"),
-        FLOAT32,
-    )
+    sbatch = as_batch(pack_graphs_aligned(tg, window=512, **small),
+                      blocked="local_slots")
+    slotted = spec.forward(jp, sbatch, FLOAT32)
     assert_allclose(np.asarray(slotted)[:4], np.asarray(plain)[:4],
                     rtol=1e-5, atol=1e-5)
+    # Guard against dead wiring: the slot arrays must actually feed the
+    # computation — corrupting them has to change the output.
+    corrupt = dict(sbatch)
+    corrupt["slot_uslot"] = np.where(
+        sbatch["slot_uslot"] < 512, 0, sbatch["slot_uslot"]
+    ).astype(np.int32)
+    broken = spec.forward(jp, corrupt, FLOAT32)
+    assert not np.allclose(np.asarray(broken)[:4], np.asarray(plain)[:4],
+                           rtol=1e-5, atol=1e-5)
 
 
 def test_pna_local_slots_overflow(reference_root):
