@@ -134,14 +134,49 @@ def as_batch(packed: PackedGraphs, blocked=False) -> dict:
     return batch
 
 
+def halo_mode(batch: dict, axis_name: Optional[str]) -> bool:
+    """True when running inside a shard_map shard of the halo-exchange
+    layout (parallel/halo.py): node arrays are this chip's rows, receivers
+    are local (trash row = S), senders index the extended node space."""
+    return axis_name is not None and "halo_send_idx" in batch
+
+
+def halo_exchange(h: jnp.ndarray, batch: dict, axis_name: str) -> jnp.ndarray:
+    """Ship this chip's boundary rows to every peer and return the extended
+    node array [S + k·H, D] = [local rows ‖ halo rows] that the (pre-remapped)
+    senders index. One lax.all_to_all of [k, H, D] over ICI — the
+    halo-exchange mapping of EDGE_PARALLEL (SURVEY.md §2.4 row 1), O(k·H·D)
+    bytes instead of the psum path's O(N·D)."""
+    import jax
+
+    send_idx = batch["halo_send_idx"]  # [k, H] — this chip's rows per peer
+    k, cap = send_idx.shape
+    send = jnp.take(h, send_idx.reshape(-1), axis=0).reshape(k, cap, -1)
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
+    return jnp.concatenate([h, recv.reshape(k * cap, h.shape[1])], axis=0)
+
+
+def gather_sources(
+    h: jnp.ndarray, batch: dict, axis_name: Optional[str] = None
+) -> jnp.ndarray:
+    """h_u per edge; in halo mode the boundary rows are exchanged first and
+    the gather runs against the extended node space."""
+    if halo_mode(batch, axis_name):
+        h = halo_exchange(h, batch, axis_name)
+    return jnp.take(h, batch["senders"], axis=0)
+
+
 def edge_segment_sum(
     vals: jnp.ndarray, batch: dict, axis_name: Optional[str] = None
 ) -> jnp.ndarray:
     """Message reduction dispatch: Pallas windowed scatter when the batch
-    carries the blocked layout (single chip), XLA segment-sum otherwise
-    (including the edge-sharded multi-chip path, where the psum completes
-    partial messages)."""
+    carries the blocked layout (single chip); chip-local segment-sum with a
+    trash row in halo mode (no collective — the halo exchange happened on
+    the gather side); XLA segment-sum + psum on the replicated edge-sharded
+    path otherwise."""
     n = num_nodes_static(batch)
+    if halo_mode(batch, axis_name):
+        return segment_sum(vals, batch["receivers"], n + 1)[:n]
     if axis_name is None and "blk_vlocal" in batch:
         from ..ops.pallas.spmm import segment_sum_blocked
 
@@ -187,24 +222,38 @@ def bond_embed(table_l: jnp.ndarray, edge_attr: jnp.ndarray, prec: Precision) ->
 
 def out_degree(batch: dict, axis_name: Optional[str] = None) -> jnp.ndarray:
     """Edges-with-source-u count per node (degree_table[u]++,
-    GIN/src/load_inputs.cc:130). Includes pad node slot."""
+    GIN/src/load_inputs.cc:130). Includes pad node slot. Halo-layout batches
+    carry the degree tables precomputed host-side (parallel/halo.py), the
+    way the reference precounts degrees before message passing."""
+    if "out_deg" in batch:
+        return batch["out_deg"]
     n = num_nodes_static(batch)
     ones = jnp.ones_like(batch["senders"], jnp.int32)
     return segment_sum(ones, batch["senders"], n, axis_name)
 
 
 def in_degree(batch: dict, axis_name: Optional[str] = None) -> jnp.ndarray:
+    if "in_deg" in batch:
+        return batch["in_deg"]
     n = num_nodes_static(batch)
     ones = jnp.ones_like(batch["receivers"], jnp.int32)
     return segment_sum(ones, batch["receivers"], n, axis_name)
 
 
-def mean_pool(h: jnp.ndarray, batch: dict, prec: Precision) -> jnp.ndarray:
+def mean_pool(
+    h: jnp.ndarray,
+    batch: dict,
+    prec: Precision,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
     """Per-graph mean over nodes (GIN/src/finalize.cc:38-115): divide the
     segment sum by the *graph's* node count, exactly as the device divides by
-    num_of_nodes. Pad graph rows are garbage by design."""
+    num_of_nodes. Pad graph rows are garbage by design. ``axis_name`` is set
+    only on the halo path, where each chip holds a node shard and the graph
+    partials are completed with one [G+1, D] psum — the single collective
+    besides the halo exchange itself."""
     g = num_graphs_static(batch)
-    total = segment_sum(h, batch["node_graph"], g)
+    total = segment_sum(h, batch["node_graph"], g, axis_name)
     count = jnp.maximum(batch["n_node"], 1).astype(h.dtype)
     return prec.q(total / count[:, None])
 

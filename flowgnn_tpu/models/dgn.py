@@ -17,7 +17,10 @@ import jax.numpy as jnp
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
 from . import base as _base
-from .base import edge_segment_sum, linear, mean_pool, out_degree, relu
+from .base import (
+    edge_segment_sum, gather_sources, halo_exchange, halo_mode, linear,
+    mean_pool, out_degree, relu,
+)
 
 EIG_EPS = 1.0 / 8192  # ap_fixed_epsilon<ap_fixed<16,3>> (DGN/src/node_embedding.cc:125)
 
@@ -44,9 +47,18 @@ def forward(
     dt = prec.compute_dtype
 
     eig = batch["node_eigen"][:, 1].astype(dt)
-    eig_w = prec.q(jnp.take(eig, u) - jnp.take(eig, v))
-    eig_abssum = segment_sum(jnp.abs(eig_w), v, n, edge_axis)
-    eigw_sum = prec.q(segment_sum(eig_w, v, n, edge_axis))
+    halo = halo_mode(batch, edge_axis)
+    if halo:
+        # eig is layer-constant: one boundary-row exchange covers all layers;
+        # the two per-node eig sums then reduce chip-locally (trash row S).
+        eig_ext = halo_exchange(eig[:, None], batch, edge_axis)[:, 0]
+        eig_w = prec.q(jnp.take(eig_ext, u) - jnp.take(eig, v))
+        eig_abssum = segment_sum(jnp.abs(eig_w), v, n + 1)[:n]
+        eigw_sum = prec.q(segment_sum(eig_w, v, n + 1)[:n])
+    else:
+        eig_w = prec.q(jnp.take(eig, u) - jnp.take(eig, v))
+        eig_abssum = segment_sum(jnp.abs(eig_w), v, n, edge_axis)
+        eigw_sum = prec.q(segment_sum(eig_w, v, n, edge_axis))
     eig_abssum = prec.q(jnp.where(eig_abssum == 0, EIG_EPS, eig_abssum))
     # The device divides by the raw out-degree with no zero guard
     # (DGN/src/node_embedding.cc:145); clamp for isolated nodes (message 0).
@@ -75,7 +87,7 @@ def forward(
             m1 = prec.q(m1_loc + m_spill[:, :d])
             m2 = prec.q(m2_loc + m_spill[:, d:])
         else:
-            x = jnp.take(h, u, axis=0)
+            x = gather_sources(h, batch, edge_axis)
             d = x.shape[1]
             mm = edge_segment_sum(
                 jnp.concatenate([x, eig_w[:, None] * x], axis=1), batch, edge_axis
@@ -91,7 +103,7 @@ def forward(
         h = prec.q(h + relu(acc))
         inter.append(h)
 
-    h_graph = mean_pool(h, batch, prec)
+    h_graph = mean_pool(h, batch, prec, edge_axis if halo else None)
     z = relu(linear(h_graph, params["mlp1_w"], params["mlp1_b"], prec))
     z = relu(linear(z, params["mlp2_w"], params["mlp2_b"], prec))
     out = linear(z, params["mlp3_w"], params["mlp3_b"], prec)

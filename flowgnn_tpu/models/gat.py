@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
 from . import base as _base
-from .base import edge_segment_sum, linear, mean_pool
+from .base import edge_segment_sum, halo_exchange, halo_mode, linear, mean_pool
 
 LEAKY_SLOPE = 0.2
 
@@ -98,6 +98,22 @@ def forward(
             ) + sp_both
             msg = prec.q(both[:, : H * D]).reshape(n, H, D)
             denom = both[:, H * D :]
+        elif halo_mode(batch, edge_axis):
+            # One exchange per layer ships h and s_tgt together (both are
+            # gathered by sender); s_src is gathered by receiver → local.
+            ext = halo_exchange(
+                jnp.concatenate([h.reshape(n, H * D), s_tgt], axis=1),
+                batch, edge_axis,
+            )
+            h_u = jnp.take(ext[:, : H * D], u, axis=0)
+            raw = jnp.take(s_src, v, axis=0) + jnp.take(ext[:, H * D :], u, axis=0)
+            score = prec.q(jnp.exp(jnp.where(raw < 0, raw * LEAKY_SLOPE, raw)))
+            scored = (score[:, :, None] * h_u.reshape(-1, H, D)).reshape(-1, H * D)
+            both = edge_segment_sum(
+                jnp.concatenate([scored, score], axis=1), batch, edge_axis
+            )
+            msg = both[:, : H * D].reshape(n, H, D)
+            denom = both[:, H * D :]
         else:
             raw = jnp.take(s_src, v, axis=0) + jnp.take(s_tgt, u, axis=0)  # [E, H]
             score = prec.q(jnp.exp(jnp.where(raw < 0, raw * LEAKY_SLOPE, raw)))
@@ -123,7 +139,9 @@ def forward(
         else:
             out_feat = prec.q((msg + skip).sum(axis=1) / H)  # head average
 
-    h_graph = mean_pool(out_feat, batch, prec)
+    h_graph = mean_pool(
+        out_feat, batch, prec, edge_axis if halo_mode(batch, edge_axis) else None
+    )
     out = linear(h_graph, params["pred_w"], params["pred_b"], prec)
     if return_intermediates:
         return out, {"layers": inter, "h_graph": h_graph}

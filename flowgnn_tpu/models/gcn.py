@@ -21,7 +21,10 @@ import jax.numpy as jnp
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
 from . import base as _base
-from .base import atom_embed, bond_embed, edge_segment_sum, linear, mean_pool, out_degree, relu
+from .base import (
+    atom_embed, bond_embed, edge_segment_sum, gather_sources, halo_exchange,
+    halo_mode, linear, mean_pool, out_degree, relu,
+)
 
 # Device BatchNorm uses sqrt(var + ap_fixed ulp) (GCN/src/load_inputs.cc:33).
 BN_EPS = 1.0 / 1024
@@ -55,6 +58,10 @@ def forward(
         norm_spill = prec.q(
             (jnp.take(dis, u[P:]) * jnp.take(dis, v[P:]))[:, None]
         )
+    elif halo_mode(batch, edge_axis):
+        # dis is layer-constant: one boundary-row exchange covers all layers.
+        dis_ext = halo_exchange(dis[:, None], batch, edge_axis)[:, 0]
+        norm = prec.q((jnp.take(dis_ext, u) * jnp.take(dis, v))[:, None])
     else:
         norm = prec.q((jnp.take(dis, u) * jnp.take(dis, v))[:, None])
 
@@ -92,12 +99,14 @@ def forward(
             m = prec.q(m_loc + m_spill)
         else:
             ee = bond_embed(params["edge_embedding"][l], batch["edge_attr"], prec)
-            msg = norm * relu(jnp.take(h, u, axis=0) + ee)
+            msg = norm * relu(gather_sources(h, batch, edge_axis) + ee)
             m = prec.q(edge_segment_sum(msg, batch, edge_axis))
         inter.append(h)
 
     a = tail(m, h, L - 1)  # final tail has no ReLU (GCN/src/finalize.cc:88-96)
-    h_graph = mean_pool(a, batch, prec)
+    h_graph = mean_pool(
+        a, batch, prec, edge_axis if halo_mode(batch, edge_axis) else None
+    )
     out = linear(h_graph, params["pred_w"], params["pred_b"], prec)
     if return_intermediates:
         return out, {"layers": inter, "h_graph": h_graph}

@@ -25,6 +25,8 @@ from .base import (
     atom_embed,
     bond_embed,
     edge_segment_sum,
+    gather_sources,
+    halo_mode,
     linear,
     mean_pool,
     relu,
@@ -106,7 +108,7 @@ def forward(
             )
             inter.append(h)
             continue
-        msg = relu(jnp.take(h, u, axis=0) + ee)
+        msg = relu(gather_sources(h, batch, edge_axis) + ee)
         if fused:
             from ..ops.pallas.fused_layer import gin_layer_fused
 
@@ -127,7 +129,9 @@ def forward(
             h = z
         inter.append(h)
 
-    h_graph = mean_pool(h, batch, prec)
+    h_graph = mean_pool(
+        h, batch, prec, edge_axis if halo_mode(batch, edge_axis) else None
+    )
     out = linear(h_graph, params["pred_w"], params["pred_b"], prec)
     if return_intermediates:
         return out, {"layers": inter, "h_graph": h_graph}

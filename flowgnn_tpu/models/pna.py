@@ -15,7 +15,10 @@ import jax.numpy as jnp
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_max, segment_min, segment_sum
 from . import base as _base
-from .base import atom_embed, edge_segment_sum, in_degree, linear, mean_pool, out_degree, relu
+from .base import (
+    atom_embed, edge_segment_sum, gather_sources, halo_mode, in_degree,
+    linear, mean_pool, out_degree, relu,
+)
 
 # ap_fixed<16,6> extremes used to seed the running min/max accumulators
 # (PNA/src/util.h ap_fixed_min/max).
@@ -81,13 +84,19 @@ def forward(
             mx = jnp.maximum(st[:, 3 * d :],
                              segment_max(x_sp, sp_v, n, MIN_INIT))
         else:
-            x = jnp.take(h, u, axis=0)
+            x = gather_sources(h, batch, edge_axis)
             ss = edge_segment_sum(
                 jnp.concatenate([x, x * x], axis=1), batch, edge_axis
             )
             s, s2 = ss[:, :d], ss[:, d:]
-            mn = segment_min(x, v, n, MAX_INIT, edge_axis)
-            mx = segment_max(x, v, n, MIN_INIT, edge_axis)
+            if halo_mode(batch, edge_axis):
+                # Chip-local running min/max over the trash-row segment space
+                # — no pmin/pmax collective on the halo path.
+                mn = segment_min(x, v, n + 1, MAX_INIT)[:n]
+                mx = segment_max(x, v, n + 1, MIN_INIT)[:n]
+            else:
+                mn = segment_min(x, v, n, MAX_INIT, edge_axis)
+                mx = segment_max(x, v, n, MIN_INIT, edge_axis)
         mean = prec.q(s / in_deg)
         std = prec.q(jnp.sqrt(relu(prec.q(s2 / in_deg) - mean * mean)))
         # [n, 4·dim] in enum order (mean, min, max, std) — PNA/src/dcl.h:29-35.
@@ -110,7 +119,9 @@ def forward(
         h = prec.q(h + relu(acc))
         inter.append(h)
 
-    h_graph = mean_pool(h, batch, prec)
+    h_graph = mean_pool(
+        h, batch, prec, edge_axis if halo_mode(batch, edge_axis) else None
+    )
     z = relu(linear(h_graph, params["mlp1_w"], params["mlp1_b"], prec))
     z = relu(linear(z, params["mlp2_w"], params["mlp2_b"], prec))
     out = linear(z, params["mlp3_w"], params["mlp3_b"], prec)

@@ -87,3 +87,62 @@ def device_put_batch(batch: dict, mesh: Mesh) -> dict:
     return {
         k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in batch.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Halo-exchange path (parallel/halo.py layout) — node-partitioned shards,
+# boundary-row all_to_all per layer instead of full-array psum.
+# ---------------------------------------------------------------------------
+
+_HALO_REPLICATED = ("n_node", "n_edge")
+
+
+def stack_halo_buckets(halo_batches: list[dict]) -> dict:
+    """Stack per-bucket halo batch dicts along a leading data axis."""
+    return {
+        k: np.stack([d[k] for d in halo_batches]) for k in halo_batches[0]
+    }
+
+
+def halo_batch_specs(batch: dict) -> dict:
+    return {
+        k: P("data") if k in _HALO_REPLICATED else P("data", "edge")
+        for k in batch
+    }
+
+
+def halo_forward(
+    forward,
+    mesh: Mesh,
+    prec: Precision = FLOAT32,
+    **fwd_kwargs,
+):
+    """Build a jitted halo-sharded step: (params, stacked_halo_batch) →
+    [data, G+1, 1].
+
+    Every per-chip array carries leading (data, edge-shard) axes; inside
+    shard_map each chip squeezes to its own shard and runs the model's halo
+    branch (models/base.py:halo_exchange) — per-layer communication is one
+    boundary-row all_to_all, plus one [G+1, D] readout psum.
+    """
+
+    def local_step(params, batch):
+        squeezed = {
+            k: (v[0] if k in _HALO_REPLICATED else v[0, 0])
+            for k, v in batch.items()
+        }
+        out = forward(params, squeezed, prec, edge_axis="edge", **fwd_kwargs)
+        return out[None]
+
+    def run(params, batch):
+        specs = halo_batch_specs(batch)
+        fn = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), specs),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+        return fn(params, batch)
+
+    return jax.jit(run)
