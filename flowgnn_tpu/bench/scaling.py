@@ -4,6 +4,15 @@ The reference is single-device; BASELINE.md's scaling target for the TPU
 build is ≥80% edges/s efficiency from 1 chip to N. On real multi-chip slices
 this measures ICI-backed scaling; on the 8-way host-platform CPU mesh it
 exercises the identical sharded program (the fake-backend tier).
+
+Two axes, swept independently:
+
+  * ``axis="data"`` — whole buckets per chip (no communication);
+  * ``axis="edge"`` — ONE batch edge-partitioned across chips. Strategy
+    ``"halo"`` (default) uses the node-shard + boundary-row-all_to_all
+    layout (parallel/halo.py); ``"psum"`` the round-1 replicated-node
+    full-array-psum path, kept for comparison. The report includes the
+    per-layer ICI bytes each strategy moves.
 """
 
 from __future__ import annotations
@@ -13,6 +22,16 @@ import time
 import numpy as np
 
 
+def _measure(fn, args, trials):
+    np.asarray(fn(*args))  # compile + completion via readback
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def run_scaling(
     model: str = "gin",
     graphs_per_device: int = 128,
@@ -20,6 +39,8 @@ def run_scaling(
     trials: int = 3,
     reference_root: str = "/root/reference",
     caps=(4096, 12288, 256),
+    axis: str = "data",
+    strategy: str = "halo",
 ) -> list[dict]:
     import jax
 
@@ -28,7 +49,13 @@ def run_scaling(
     from ..core.synthetic import synthetic_molhiv
     from ..models import registry
     from ..models.base import prepare_params
-    from ..parallel.inference import sharded_forward, stack_buckets
+    from ..parallel.halo import (
+        build_halo_batch, halo_bytes_per_layer, halo_shape,
+        psum_bytes_per_layer,
+    )
+    from ..parallel.inference import (
+        halo_forward, sharded_forward, stack_buckets, stack_halo_buckets,
+    )
     from ..parallel.mesh import make_mesh
 
     spec = registry.get(model)
@@ -45,33 +72,57 @@ def run_scaling(
     for k in device_counts:
         if k > len(jax.devices()):
             continue
-        # Weak scaling: every device always gets graphs_per_device graphs.
-        per = graphs_per_device
-        buckets = [
-            pack_graphs(
-                graphs[i * per : (i + 1) * per],
-                node_capacity=caps[0], edge_capacity=caps[1],
-                graph_capacity=caps[2], with_eigen=spec.needs_eigen,
+        if axis == "data":
+            # Weak scaling: every device always gets graphs_per_device graphs.
+            per = graphs_per_device
+            buckets = [
+                pack_graphs(
+                    graphs[i * per : (i + 1) * per],
+                    node_capacity=caps[0], edge_capacity=caps[1],
+                    graph_capacity=caps[2], with_eigen=spec.needs_eigen,
+                )
+                for i in range(k)
+            ]
+            total_edges = sum(int(b.n_edge[:-1].sum()) for b in buckets)
+            stacked = stack_buckets(buckets)
+            mesh = make_mesh(data=k, edge=1)
+            fwd = sharded_forward(spec.forward, mesh, FLOAT32)
+            best = _measure(fwd, (jp, stacked), trials)
+            row = {"devices": k, "axis": "data"}
+        elif axis == "edge":
+            # Strong scaling of one fixed batch across the edge axis.
+            packed = pack_graphs(
+                graphs[: graphs_per_device * max(device_counts)],
+                node_capacity=caps[0] * max(device_counts) // 2,
+                edge_capacity=caps[1] * max(device_counts) // 2,
+                graph_capacity=caps[2] * max(device_counts),
+                with_eigen=spec.needs_eigen,
             )
-            for i in range(k)
-        ]
-        total_edges = sum(int(b.n_edge[:-1].sum()) for b in buckets)
-        stacked = stack_buckets(buckets)
-        mesh = make_mesh(data=k, edge=1)
-        fwd = sharded_forward(spec.forward, mesh, FLOAT32)
-        np.asarray(fwd(jp, stacked))  # compile + completion via readback
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            np.asarray(fwd(jp, stacked))
-            best = min(best, time.perf_counter() - t0)
-        results.append(
-            {
-                "devices": k,
-                "edges_per_s": total_edges / best,
-                "time_s": best,
+            total_edges = int(packed.n_edge[:-1].sum())
+            mesh = make_mesh(data=1, edge=k)
+            dim = 100 if model != "pna" else 80
+            if strategy == "halo":
+                stacked = stack_halo_buckets(
+                    [build_halo_batch(packed, k=k, edge_slack=2.0 * k)]
+                )
+                fwd = halo_forward(spec.forward, mesh, FLOAT32)
+                shape = halo_shape(
+                    packed.node_capacity, packed.edge_capacity, k
+                )
+                ici = halo_bytes_per_layer(shape, dim)
+            else:  # replicated-node psum path (round-1 fallback)
+                stacked = stack_buckets([packed])
+                fwd = sharded_forward(spec.forward, mesh, FLOAT32)
+                ici = psum_bytes_per_layer(packed.node_capacity, dim)
+            best = _measure(fwd, (jp, stacked), trials)
+            row = {
+                "devices": k, "axis": "edge", "strategy": strategy,
+                "ici_bytes_per_layer": 0 if k == 1 else ici,
             }
-        )
+        else:
+            raise ValueError(f"unknown axis {axis!r}")
+        row.update({"edges_per_s": total_edges / best, "time_s": best})
+        results.append(row)
     if results:
         base = results[0]["edges_per_s"] / results[0]["devices"]
         for r in results:

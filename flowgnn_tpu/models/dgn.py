@@ -64,7 +64,9 @@ def forward(
     # (DGN/src/node_embedding.cc:145); clamp for isolated nodes (message 0).
     deg = jnp.maximum(out_degree(batch, edge_axis), 1).astype(dt)[:, None]
 
-    local = "loc_ell" in batch and edge_axis is None and prec.fixed is None
+    local = "loc_ell" in batch and prec.fixed is None and (
+        edge_axis is None or halo
+    )
     if local:
         P = batch["loc_ulocal"].shape[0]
         nw = -(-n // _base.PALLAS_ELL_WINDOW)
@@ -76,9 +78,13 @@ def forward(
         if local:
             from ..ops.pallas.local_layer import dgn_local_message_ell
 
-            x_sp = jnp.take(h, u[P:], axis=0)
+            hsrc = halo_exchange(h, batch, edge_axis) if halo else h
+            x_sp = jnp.take(hsrc, u[P:], axis=0)
             sp = jnp.concatenate([x_sp, eig_w[P:][:, None] * x_sp], axis=1)
-            m_spill = segment_sum(sp, v[P:], n)
+            m_spill = (
+                segment_sum(sp, v[P:], n + 1)[:n]
+                if halo else segment_sum(sp, v[P:], n)
+            )
             d = h.shape[1]
             m1_loc, m2_loc = dgn_local_message_ell(
                 batch["loc_ulocal"], batch["loc_vlocal"], h, eig,

@@ -66,7 +66,10 @@ def forward(
     s_src = _scores(h, params["a_src"][0], prec)
     s_tgt = _scores(h, params["a_tgt"][0], prec)
 
-    local = "loc_ell" in batch and edge_axis is None and prec.fixed is None
+    halo = halo_mode(batch, edge_axis)
+    local = "loc_ell" in batch and prec.fixed is None and (
+        edge_axis is None or halo
+    )
     if local:
         P = batch["loc_ulocal"].shape[0]
         nw = -(-n // _base.PALLAS_ELL_WINDOW)
@@ -78,19 +81,33 @@ def forward(
         if local:
             from ..ops.pallas.local_layer import gat_local_message_ell
 
+            if halo:
+                # One exchange ships h and s_tgt together for the spill
+                # gathers; pad spill lanes target the trash row (= n) and
+                # are sliced off by the reduction, so no masking is needed.
+                ext = halo_exchange(
+                    jnp.concatenate([h.reshape(n, H * D), s_tgt], axis=1),
+                    batch, edge_axis,
+                )
+                s_tgt_src = ext[:, H * D :]
+                h_src_flat = ext[:, : H * D]
+            else:
+                s_tgt_src = s_tgt
+                h_src_flat = h.reshape(n, H * D)
             raw_sp = jnp.take(s_src, v[P:], axis=0) + jnp.take(
-                s_tgt, u[P:], axis=0
+                s_tgt_src, u[P:], axis=0
             )
             sc_sp = jnp.exp(jnp.where(raw_sp < 0, raw_sp * LEAKY_SLOPE, raw_sp))
             # Mask pad spill lanes (u == v == pad node would score 1).
-            sc_sp = sc_sp * (v[P:] < n - 1)[:, None].astype(sc_sp.dtype)
-            h_sp = jnp.take(h, u[P:], axis=0).reshape(-1, H * D)
+            pad_cut = n if halo else n - 1
+            sc_sp = sc_sp * (v[P:] < pad_cut)[:, None].astype(sc_sp.dtype)
+            h_sp = jnp.take(h_src_flat, u[P:], axis=0)
             sp_both = segment_sum(
                 jnp.concatenate(
                     [jnp.repeat(sc_sp, D, axis=1) * h_sp, sc_sp], axis=1
                 ),
-                v[P:], n,
-            )
+                v[P:], n + 1 if halo else n,
+            )[:n]
             both = gat_local_message_ell(
                 batch["loc_ulocal"], batch["loc_vlocal"],
                 h.reshape(n, H * D), s_src, s_tgt,

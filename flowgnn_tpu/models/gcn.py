@@ -43,9 +43,16 @@ def forward(
 
     deg = out_degree(batch, edge_axis).astype(prec.compute_dtype)
     dis = 1.0 / jnp.sqrt(deg + 1)
+    halo = halo_mode(batch, edge_axis)
+    # dis is layer-constant: in halo mode one boundary-row exchange covers
+    # all layers (sender-side gathers use the extended space).
+    dis_src = halo_exchange(dis[:, None], batch, edge_axis)[:, 0] if halo else dis
     # Graph-local ELL kernel path: norms are gathered in-window, so the
-    # per-edge norm array is only needed for the spill tail.
-    local = "loc_ell" in batch and edge_axis is None and prec.fixed is None
+    # per-edge norm array is only needed for the spill tail. Engages per
+    # shard under halo sharding too (layout from parallel/halo.py).
+    local = "loc_ell" in batch and prec.fixed is None and (
+        edge_axis is None or halo
+    )
     if local:
         from ..core.features import BOND_FEATURE_OFFSETS
 
@@ -56,14 +63,10 @@ def forward(
             batch["edge_attr"][:P] + jnp.asarray(BOND_FEATURE_OFFSETS)[None, :]
         )
         norm_spill = prec.q(
-            (jnp.take(dis, u[P:]) * jnp.take(dis, v[P:]))[:, None]
+            (jnp.take(dis_src, u[P:]) * jnp.take(dis, v[P:]))[:, None]
         )
-    elif halo_mode(batch, edge_axis):
-        # dis is layer-constant: one boundary-row exchange covers all layers.
-        dis_ext = halo_exchange(dis[:, None], batch, edge_axis)[:, 0]
-        norm = prec.q((jnp.take(dis_ext, u) * jnp.take(dis, v))[:, None])
     else:
-        norm = prec.q((jnp.take(dis, u) * jnp.take(dis, v))[:, None])
+        norm = prec.q((jnp.take(dis_src, u) * jnp.take(dis, v))[:, None])
 
     def bn(x, l):
         s = jnp.sqrt(params["bn_var"][l] + BN_EPS)
@@ -88,8 +91,12 @@ def forward(
             ee_spill = bond_embed(
                 params["edge_embedding"][l], batch["edge_attr"][P:], prec
             )
-            spill_msg = norm_spill * relu(jnp.take(h, u[P:], axis=0) + ee_spill)
-            m_spill = segment_sum(spill_msg, v[P:], n)
+            hsrc = halo_exchange(h, batch, edge_axis) if halo else h
+            spill_msg = norm_spill * relu(jnp.take(hsrc, u[P:], axis=0) + ee_spill)
+            m_spill = (
+                segment_sum(spill_msg, v[P:], n + 1)[:n]
+                if halo else segment_sum(spill_msg, v[P:], n)
+            )
             m_loc = gcn_local_message_ell(
                 attr_off,
                 params["edge_embedding"][l].astype(prec.compute_dtype),

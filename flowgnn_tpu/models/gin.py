@@ -55,8 +55,15 @@ def forward(
     # these dims) while compiling ~9x slower — see BENCH.md.
     fused = fused and "blk_vlocal" in batch and edge_axis is None and prec.fixed is None
     # The graph-local fully fused path (gather+message+scatter+MLP in VMEM)
-    # engages automatically when the batch carries the local layout.
-    local = "loc_ulocal" in batch and edge_axis is None and prec.fixed is None
+    # engages automatically when the batch carries the local layout —
+    # including inside a halo-sharded shard_map, where each chip's node
+    # shard is window-aligned and the ELL layout was built per shard
+    # (parallel/halo.py blocked="local_ell"); halo-sourced edges arrive
+    # through the spill tail.
+    halo = halo_mode(batch, edge_axis)
+    local = "loc_ulocal" in batch and prec.fixed is None and (
+        edge_axis is None or (halo and "loc_ell" in batch)
+    )
 
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     inter = [h]
@@ -75,8 +82,12 @@ def forward(
             ee_spill = bond_embed(
                 params["edge_embedding"][l], batch["edge_attr"][P:], prec
             )
-            spill_msg = relu(jnp.take(h, u[P:], axis=0) + ee_spill)
-            m_spill = segment_sum(spill_msg, v[P:], n)
+            hsrc = _base.halo_exchange(h, batch, edge_axis) if halo else h
+            spill_msg = relu(jnp.take(hsrc, u[P:], axis=0) + ee_spill)
+            m_spill = (
+                segment_sum(spill_msg, v[P:], n + 1)[:n]
+                if halo else segment_sum(spill_msg, v[P:], n)
+            )
             h = gin_local_layer_ell(
                 None, batch["loc_ulocal"], batch["loc_vlocal"], h, m_spill,
                 params["mlp1_w"][l], params["mlp1_b"][l],

@@ -52,14 +52,19 @@ def forward(
     # aggregates densely over in-edge slots (ops/pallas/local_layer.py:
     # pna_local_stats_ell); slot-overflow and window-crossing edges arrive
     # through the spill tail and are merged with XLA segment ops.
-    slots = "slot_uslot" in batch and edge_axis is None and prec.fixed is None
+    halo = halo_mode(batch, edge_axis)
+    slots = "slot_uslot" in batch and prec.fixed is None and (
+        edge_axis is None or halo
+    )
     if slots:
         sp = batch["slot_spill"]
         sp_mask = batch["slot_spill_mask"]
         # Masked-out spill lanes are index-0 duplicates; neutralise them by
-        # routing both endpoints at the pad node (row n-1, never read).
-        sp_u = jnp.where(sp_mask, u[sp], n - 1)
-        sp_v = jnp.where(sp_mask, v[sp], n - 1)
+        # routing both endpoints at the discard row (pad node n-1 on a
+        # single chip, the trash row n on a halo shard — never read).
+        dead = n if halo else n - 1
+        sp_u = jnp.where(sp_mask, u[sp], dead)
+        sp_v = jnp.where(sp_mask, v[sp], dead)
 
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     inter = [h]
@@ -76,13 +81,17 @@ def forward(
                 MAX_INIT, MIN_INIT,
             )
             s, s2 = st[:, :d], st[:, d : 2 * d]
-            x_sp = jnp.take(h, sp_u, axis=0)
-            s = s + segment_sum(x_sp, sp_v, n)
-            s2 = s2 + segment_sum(x_sp * x_sp, sp_v, n)
+            hsrc = (
+                _base.halo_exchange(h, batch, edge_axis) if halo else h
+            )
+            x_sp = jnp.take(hsrc, sp_u, axis=0)
+            ns = n + 1 if halo else n
+            s = s + segment_sum(x_sp, sp_v, ns)[:n]
+            s2 = s2 + segment_sum(x_sp * x_sp, sp_v, ns)[:n]
             mn = jnp.minimum(st[:, 2 * d : 3 * d],
-                             segment_min(x_sp, sp_v, n, MAX_INIT))
+                             segment_min(x_sp, sp_v, ns, MAX_INIT)[:n])
             mx = jnp.maximum(st[:, 3 * d :],
-                             segment_max(x_sp, sp_v, n, MIN_INIT))
+                             segment_max(x_sp, sp_v, ns, MIN_INIT)[:n])
         else:
             x = gather_sources(h, batch, edge_axis)
             ss = edge_segment_sum(

@@ -74,6 +74,9 @@ def build_halo_batch(
     window: int = 128,
     halo_cap: int = DEFAULT_HALO_CAP,
     edge_slack: float = EDGE_SLACK,
+    blocked: str | None = None,
+    k_blocks: int | None = None,
+    spill_cap: int = 4096,
 ) -> dict:
     """PackedGraphs → per-chip stacked batch dict (leading axis k).
 
@@ -82,7 +85,21 @@ def build_halo_batch(
     receivers [k,Ec] (local space, trash=S), edge_attr [k,Ec,3],
     halo_send_idx [k,k,H], in_deg/out_deg [k,S].
     Replicated keys: n_node, n_edge [G+1].
+
+    ``blocked="local_ell"`` / ``"local_slots"`` additionally builds the
+    graph-local Pallas layout PER SHARD (the chip shards are window-aligned
+    by construction), so the same local kernels that win single-chip run
+    inside shard_map — halo-sourced edges fall out to the spill tail
+    automatically because their extended-space sender index can never share
+    a window with a local receiver. Per-chip edge arrays then become
+    [lanes ‖ spill] like models/base.as_batch's local layouts. The layout
+    window/block sizes follow models.base PALLAS_ELL_*; ``window`` is
+    forced to the ELL window so shard alignment matches the kernel grid.
     """
+    if blocked in ("local_ell", "local_slots"):
+        from ..models.base import PALLAS_ELL_WINDOW
+
+        window = PALLAS_ELL_WINDOW
     shape = halo_shape(
         packed.node_capacity, packed.edge_capacity, k, window, halo_cap,
         edge_slack,
@@ -117,6 +134,7 @@ def build_halo_batch(
     send_idx = np.zeros((k, k, hcap), np.int32)
 
     owner = receivers // s_rows
+    per_chip = []
     for i in range(k):
         ei = np.nonzero(real & (owner == i))[0]
         if ei.size > ec:
@@ -142,9 +160,69 @@ def build_halo_batch(
             send_idx[j, i, : rows.size] = rows - j * s_rows
             slot = np.searchsorted(rows, src[rem])
             s_ext[rem] = s_rows + j * hcap + slot
-        sh_send[i, : ei.size] = s_ext
-        sh_recv[i, : ei.size] = receivers[ei] - i * s_rows
-        sh_attr[i, : ei.size] = edge_attr[ei]
+        per_chip.append((ei, s_ext, receivers[ei] - i * s_rows))
+
+    extras: dict = {}
+    if blocked == "local_ell":
+        from ..core.blocking import build_local_blocks_ell
+        from ..models.base import PALLAS_ELL_BLOCK
+
+        block = PALLAS_ELL_BLOCK
+        if k_blocks is None:
+            k_blocks = 1
+            for _, s_ext, r_loc in per_chip:
+                lb = build_local_blocks_ell(
+                    s_ext, r_loc, s_rows + 1, window=window, block=block,
+                    spill_capacity=max(spill_cap, ec),
+                )
+                k_blocks = max(k_blocks, lb.k_blocks)
+        lbs = [
+            build_local_blocks_ell(
+                s_ext, r_loc, s_rows + 1, window=window, block=block,
+                k_blocks=k_blocks, spill_capacity=spill_cap,
+            )
+            for _, s_ext, r_loc in per_chip
+        ]
+        p_lanes = lbs[0].u_local.shape[0]
+        sh_send = np.zeros((k, p_lanes + spill_cap), np.int32)
+        sh_recv = np.full((k, p_lanes + spill_cap), s_rows, np.int32)
+        sh_attr = np.zeros(
+            (k, p_lanes + spill_cap, edge_attr.shape[1]), np.int32
+        )
+        for i, ((ei, s_ext, r_loc), lb) in enumerate(zip(per_chip, lbs)):
+            val = lb.valid
+            sh_send[i, :p_lanes][val] = s_ext[lb.edge_perm[val]]
+            sh_recv[i, :p_lanes][val] = r_loc[lb.edge_perm[val]]
+            sh_attr[i, :p_lanes][val] = edge_attr[ei[lb.edge_perm[val]]]
+            nsp = lb.spill_count
+            sp = lb.spill[:nsp]
+            sh_send[i, p_lanes : p_lanes + nsp] = s_ext[sp]
+            sh_recv[i, p_lanes : p_lanes + nsp] = r_loc[sp]
+            sh_attr[i, p_lanes : p_lanes + nsp] = edge_attr[ei[sp]]
+        extras["loc_ulocal"] = np.stack([lb.u_local for lb in lbs])
+        extras["loc_vlocal"] = np.stack([lb.v_local for lb in lbs])
+        extras["loc_ell"] = np.zeros((k, 0), np.int32)  # static-grid marker
+    else:
+        for i, (ei, s_ext, r_loc) in enumerate(per_chip):
+            sh_send[i, : ei.size] = s_ext
+            sh_recv[i, : ei.size] = r_loc
+            sh_attr[i, : ei.size] = edge_attr[ei]
+        if blocked == "local_slots":
+            from ..core.blocking import build_local_slots
+            from ..models.base import PALLAS_SLOTS
+
+            slot_u, slot_sp, slot_mask = [], [], []
+            for ei, s_ext, r_loc in per_chip:
+                us, sp, cnt = build_local_slots(
+                    s_ext, r_loc, s_rows + 1, window=window,
+                    slots=PALLAS_SLOTS, spill_capacity=spill_cap,
+                )
+                slot_u.append(us)
+                slot_sp.append(sp)
+                slot_mask.append(np.arange(spill_cap) < cnt)
+            extras["slot_uslot"] = np.stack(slot_u)
+            extras["slot_spill"] = np.stack(slot_sp)
+            extras["slot_spill_mask"] = np.stack(slot_mask)
 
     batch = {
         "node_feat": node_feat,
@@ -158,6 +236,7 @@ def build_halo_batch(
         "n_node": np.asarray(packed.n_node),
         "n_edge": np.asarray(packed.n_edge),
     }
+    batch.update(extras)
     if node_eigen is not None:
         batch["node_eigen"] = node_eigen
     return batch

@@ -77,3 +77,20 @@ def test_scaling_bench_cpu():
     assert [r["devices"] for r in res] == [1, 2]
     assert res[0]["efficiency"] == pytest.approx(1.0)
     assert res[1]["edges_per_s"] > 0
+
+
+def test_scaling_bench_edge_axis_cpu():
+    """The edge axis must actually be swept (VERDICT Weak #4) — halo and
+    psum strategies both run, and the halo strategy reports moving fewer
+    ICI bytes per layer."""
+    from flowgnn_tpu.bench.scaling import run_scaling
+
+    halo = run_scaling("gin", graphs_per_device=16, device_counts=(1, 2),
+                       trials=1, caps=(1024, 4096, 64), axis="edge",
+                       strategy="halo")
+    psum = run_scaling("gin", graphs_per_device=16, device_counts=(2,),
+                       trials=1, caps=(1024, 4096, 64), axis="edge",
+                       strategy="psum")
+    assert [r["devices"] for r in halo] == [1, 2]
+    assert halo[1]["ici_bytes_per_layer"] < psum[0]["ici_bytes_per_layer"]
+    assert all(r["edges_per_s"] > 0 for r in halo + psum)

@@ -141,3 +141,37 @@ def test_halo_moves_fewer_bytes():
     halo = halo_bytes_per_layer(shape, dim=100)
     psum = psum_bytes_per_layer(node_capacity=32768, dim=100)
     assert halo < psum / 10  # 8·256·100·4 ≈ 0.8 MB vs 32k·100·4 ≈ 13 MB
+
+
+@pytest.fixture(autouse=False)
+def _interp(monkeypatch):
+    monkeypatch.setenv("FLOWGNN_PALLAS_INTERPRET", "1")
+
+
+@pytest.mark.parametrize("name", ["gin", "gcn", "dgn", "gat", "pna"])
+def test_halo_local_kernels_equal_single(name, _interp, graphs16, reference_root):
+    """VERDICT #3: the Pallas graph-local kernels must run INSIDE shard_map
+    (per-shard ELL / slot layouts from parallel/halo.py) instead of the
+    sharded path regressing to plain XLA scatter."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 fake devices")
+    spec = registry.get(name)
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jparams = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:8])
+    caps = dict(node_capacity=1024, edge_capacity=4096, graph_capacity=8)
+    packed = pack_graphs(tg, with_eigen=spec.needs_eigen, **caps)
+    blocked = "local_slots" if name == "pna" else "local_ell"
+    hb = build_halo_batch(packed, k=4, edge_slack=8.0, blocked=blocked)
+    key = "slot_uslot" if name == "pna" else "loc_ulocal"
+    assert key in hb  # the local layout must actually be attached
+    stacked = stack_halo_buckets([hb])
+    mesh = make_mesh(data=1, edge=4)
+    fwd = halo_forward(spec.forward, mesh, FLOAT32)
+    got = np.asarray(fwd(jparams, stacked))[0]
+    expected = np.asarray(
+        jax.jit(lambda p, b: spec.forward(p, b, FLOAT32))(jparams, as_batch(packed))
+    )
+    kk = packed.num_graphs
+    assert_allclose(got[:kk], expected[:kk], rtol=1e-5, atol=1e-5,
+                    msg=f"{name} halo+local")
