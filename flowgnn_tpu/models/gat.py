@@ -10,6 +10,14 @@ parity at dim-16 fixed-point scale, and kept so numerics line up.
 
 Self edges must already be present in the batch
 (core.graphs.add_self_loops ≙ GAT/src/load_inputs.cc:144-149).
+
+Documented reference bug (not reproduced): GAT_compute.cc forgets
+``nodes_offset`` when loading input features — in a multi-graph batch the
+reference kernel evaluates EVERY graph on graph 1's node features (GIN/PNA/
+DGN pass the offset correctly). This framework uses each graph's own
+features; bit-exact validation therefore runs the golden kernel one graph
+per batch (tests/test_golden.py::test_gat_bit_exact_vs_reference_kernel,
+and ..::test_gat_reference_feature_offset_bug pins the bug itself).
 """
 
 from __future__ import annotations
@@ -22,6 +30,15 @@ from . import base as _base
 from .base import edge_segment_sum, halo_exchange, halo_mode, linear, mean_pool
 
 LEAKY_SLOPE = 0.2
+
+# Fully-fused local layer (softmax divide + skip + ELU + next projection in
+# the kernel epilogue). Measured SLOWER on v5e than kernel-message + XLA
+# glue (16.4 vs 9.9 µs/graph): at H·D = 64 the per-window epilogue matmuls
+# use half the MXU lanes and repeat per window, while XLA runs one big
+# batched [n, 64] matmul. Kept opt-in for wider-head configs.
+import os as _os
+
+FUSE_LAYERS = _os.environ.get("FLOWGNN_GAT_FUSE", "0") == "1"
 
 
 def _project(w_l: jnp.ndarray, x: jnp.ndarray, prec: Precision) -> jnp.ndarray:
@@ -108,6 +125,37 @@ def forward(
                 ),
                 v[P:], n + 1 if halo else n,
             )[:n]
+            if l != L - 1 and FUSE_LAYERS:
+                # Fully fused layer: softmax divide, skip-proj, ELU and the
+                # NEXT layer's projection + scores all run in the kernel
+                # epilogue (ops/pallas/local_layer.py:gat_local_layer_ell)
+                # — none of the [n, H·D] glue tensors round-trip to HBM.
+                from ..ops.pallas.local_layer import gat_local_layer_ell
+
+                eye = jnp.eye(H, dtype=prec.compute_dtype)
+                a_mat = jnp.concatenate(
+                    [
+                        (params["a_src"][l + 1][:, :, None] * eye[:, None, :])
+                        .reshape(H * D, H),
+                        (params["a_tgt"][l + 1][:, :, None] * eye[:, None, :])
+                        .reshape(H * D, H),
+                    ],
+                    axis=1,
+                ).astype(prec.compute_dtype)
+                fused_out = gat_local_layer_ell(
+                    batch["loc_ulocal"], batch["loc_vlocal"],
+                    h.reshape(n, H * D), s_src, s_tgt,
+                    prev.reshape(n, H * D), sp_both,
+                    params["skip_w"][l].reshape(H * D, H * D),
+                    params["proj_w"][l + 1].reshape(H * D, H * D),
+                    a_mat, _base.PALLAS_ELL_WINDOW, k_blocks, H,
+                )
+                h = prec.q(fused_out[:, : H * D]).reshape(n, H, D)
+                prev = prec.q(fused_out[:, H * D : 2 * H * D]).reshape(n, H, D)
+                s_src = prec.q(fused_out[:, 2 * H * D : 2 * H * D + H])
+                s_tgt = prec.q(fused_out[:, 2 * H * D + H :])
+                inter.append(h)
+                continue
             both = gat_local_message_ell(
                 batch["loc_ulocal"], batch["loc_vlocal"],
                 h.reshape(n, H * D), s_src, s_tgt,

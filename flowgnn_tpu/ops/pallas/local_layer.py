@@ -650,3 +650,133 @@ def pna_local_stats_ell(
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
     )(u_slot[:, None], hp)
     return out[:n]
+
+
+def gat_local_layer_ell(
+    u_local: jnp.ndarray,
+    v_local: jnp.ndarray,
+    h: jnp.ndarray,  # [n, H·D] projected features, head-major flat
+    s_src: jnp.ndarray,  # [n, H]
+    s_tgt: jnp.ndarray,  # [n, H]
+    prev: jnp.ndarray,  # [n, H·D] previous layer features (skip input)
+    spill_both: jnp.ndarray,  # [n, H·D + H] pre-reduced crossing contributions
+    w_skip: jnp.ndarray,  # [H·D, H·D] this layer's skip projection
+    w_proj: jnp.ndarray,  # [H·D, H·D] NEXT layer's projection
+    a_mat: jnp.ndarray,  # [H·D, 2H] block-diag (a_src ‖ a_tgt) score matrix
+    window: int,
+    k_blocks: int,
+    num_heads: int,
+) -> jnp.ndarray:
+    """One whole non-final GAT layer in a single VMEM pass.
+
+    Message phase = gat_local_message_ell (edge softmax numerator +
+    denominator, GAT/src/message_passing.cc:122-148); the epilogue then
+    fuses everything the reference's apply unit pipelines
+    (GAT/src/node_embedding.cc:98-271): softmax normalisation
+    (conv_layer.cc:170-177), skip projection + ELU, and the NEXT layer's
+    projection and attention scores — so none of the per-layer [n, H·D]
+    glue tensors ever round-trip to HBM (they were ~70% of GAT's layer
+    time in round 1, BENCH.md).
+
+    Returns [n, 2·H·D + 2H] = (h_next ‖ feat ‖ s_src_next ‖ s_tgt_next).
+    """
+    n, hd = h.shape
+    d = hd // num_heads
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        s_src = jnp.pad(s_src, ((0, pad), (0, 0)))
+        s_tgt = jnp.pad(s_tgt, ((0, pad), (0, 0)))
+        prev = jnp.pad(prev, ((0, pad), (0, 0)))
+        spill_both = jnp.pad(spill_both, ((0, pad), (0, 0)))
+    p = u_local.shape[0]
+    block = p // (num_windows * k_blocks)
+    out_dim = 2 * hd + 2 * num_heads
+
+    def kernel(uloc_ref, vloc_ref, h_ref, ssrc_ref, stgt_ref, prev_ref,
+               spill_ref, wskip_ref, wproj_ref, amat_ref, out_ref, acc_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        s1 = jnp.dot(onehot_v, ssrc_ref[:], preferred_element_type=jnp.float32)
+        s2 = jnp.dot(onehot_u, stgt_ref[:], preferred_element_type=jnp.float32)
+        raw = s1 + s2
+        score = jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+        valid = (vloc_ref[:, 0] < window)[:, None].astype(jnp.float32)
+        score = score * valid
+        cols = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 1) // d
+        rows = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 0)
+        expand = (cols == rows).astype(jnp.float32)
+        scorex = jnp.dot(score, expand, preferred_element_type=jnp.float32)
+        both = jnp.concatenate([scorex * h_u, score], axis=1).astype(
+            h_ref.dtype
+        )
+        acc_ref[:] += jax.lax.dot_general(
+            onehot_v, both,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == k_blocks - 1)
+        def _():
+            tot = acc_ref[:] + spill_ref[:].astype(jnp.float32)
+            denom = tot[:, hd:]
+            denom = jnp.where(denom == 0, 1.0, denom)
+            denomx = jnp.dot(
+                denom, expand, preferred_element_type=jnp.float32
+            )
+            msg = tot[:, :hd] / denomx
+            skip = jax.lax.dot_general(
+                prev_ref[:].astype(jnp.float32), wskip_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            x = msg + skip
+            feat = jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+            h_next = jax.lax.dot_general(
+                feat, wproj_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores = jnp.dot(
+                h_next, amat_ref[:], preferred_element_type=jnp.float32
+            )
+            out_ref[:] = jnp.concatenate(
+                [h_next, feat, scores], axis=1
+            ).astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows, k_blocks),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((window, hd), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, num_heads), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, num_heads), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, hd), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, hd + num_heads), lambda w, k: (w, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((window, out_dim), lambda w, k: (w, 0)),
+        scratch_shapes=[pltpu.VMEM((window, hd + num_heads), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, out_dim), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * p * window * hd + 6 * num_windows * window * hd * hd,
+            bytes_accessed=(p + 6 * num_windows * window) * hd * 4,
+            transcendentals=p * num_heads,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(u_local[:, None], v_local[:, None], h, s_src, s_tgt, prev, spill_both,
+      w_skip, w_proj, a_mat)
+    return out[:n]
