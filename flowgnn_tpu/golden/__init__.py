@@ -18,13 +18,14 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _INCLUDE = os.path.join(_HERE, "include")
 
+_COMMON = ["conv_layer.cc", "message_passing.cc", "node_embedding.cc",
+           "finalize.cc", "linear.cc", "load_inputs.cc", "globals.cc"]
 KERNEL_SOURCES = {
-    "GIN": ["GIN_compute.cc", "conv_layer.cc", "message_passing.cc",
-            "node_embedding.cc", "finalize.cc", "linear.cc",
-            "load_inputs.cc", "globals.cc"],
-    "GCN": ["GCN_compute.cc", "conv_layer.cc", "message_passing.cc",
-            "node_embedding.cc", "finalize.cc", "linear.cc",
-            "load_inputs.cc", "globals.cc"],
+    "GIN": ["GIN_compute.cc"] + _COMMON,
+    "GCN": ["GCN_compute.cc"] + _COMMON,
+    "GAT": ["GAT_compute.cc"] + _COMMON,
+    "PNA": ["PNA_compute.cc"] + _COMMON,
+    "DGN": ["DGN_compute.cc"] + _COMMON,
 }
 
 
