@@ -499,3 +499,77 @@ def gat_forward_fixed_exact(params: dict, g: Graph) -> dict:
         h, prev, s_src, s_tgt = acc, new_prev, s_src_n, s_tgt_n
 
     return {"out": out, "h_graph": h_graph}
+
+
+# ---------------------------------------------------------------------------
+# GCN (ap_fixed<16,6>)
+# ---------------------------------------------------------------------------
+
+
+def gcn_forward_fixed_exact(params: dict, g: Graph) -> dict:
+    """Bit-exact ap_fixed<16,6> GCN replay (vs the compiled reference kernel).
+
+    Quantization placement: degree_inv_sqrt quantizes 1/sqrt(deg+1) once per
+    node, per-edge norms quantize the dis product
+    (GCN/src/load_inputs.cc:120-163, out-degree-0 nodes keep dis=0 — the
+    documented reference quirk); the scatter accumulates
+    q(norm·relu(h_u+ee)) per edge in per-PE source-CSR order
+    (message_passing.cc:124-172); the fused previous-layer tail quantizes
+    the whole (m + relu(h+root)/(deg+1)) expression once and the whole BN
+    affine once (node_embedding.cc:112-147); the conv matmul quantizes each
+    product with an on-grid accumulator fold; the final tail (no ReLU) runs
+    inside pooling with a per-node running sum and truncating division
+    (finalize.cc:39-113), then the prediction linear's running sum.
+    """
+    u, v = g.edge_index[:, 0], g.edge_index[:, 1]
+    n = g.num_nodes
+    L = params["conv_w"].shape[0]
+
+    nd_t = _q(params["node_embedding"])
+    ed = _q(params["edge_embedding"])
+    cw, cb = _q(params["conv_w"]), _q(params["conv_b"])
+    root = _q(params["root_emb"])
+    bnw, bnb = _q(params["bn_weight"]), _q(params["bn_bias"])
+    bnm, bnv = _q(params["bn_mean"]), _q(params["bn_var"])
+    pw, pb = _q(params["pred_w"]), _q(params["pred_b"])
+    # bn_sqrt_var = q(sqrt(var + ap_fixed_epsilon)) — load_inputs.cc:32.
+    bnsv = _q(np.sqrt(bnv + 1.0 / 1024))
+
+    out_deg = np.bincount(u, minlength=n).astype(np.float64)
+    # dis stays 0 for out-degree-0 nodes (never updated in the edge loop).
+    dis = np.where(out_deg > 0, _q(1.0 / np.sqrt(out_deg + 1)), 0.0)
+    norms = _q(dis[u] * dis[v])
+
+    rows = g.node_feat + ATOM_FEATURE_OFFSETS[None, :]
+    h = _check_range(nd_t[rows].sum(axis=1), "gcn h0")
+    erows = g.edge_attr + BOND_FEATURE_OFFSETS[None, :]
+    order = _pe_source_order(u, v)
+
+    def tail(m, h, l):
+        a = _q(m + np.maximum(h + root[l][None, :], 0.0)
+               / (out_deg[:, None] + 1))
+        return _q((a - bnm[l]) / bnsv[l] * bnw[l] + bnb[l])
+
+    m = np.zeros((n, h.shape[1]), np.float64)
+    for l in range(L):
+        act = h if l == 0 else np.maximum(tail(m, h, l - 1), 0.0)
+        z = np.broadcast_to(cb[l][None, :], (n, cw.shape[1])).copy()
+        for i in range(act.shape[1]):
+            z = _q(z + _q(act[:, i, None] * cw[l][None, :, i]))
+        h = z
+        ee = ed[l][erows].sum(axis=1)  # on-grid
+        m = np.zeros((n, h.shape[1]), np.float64)
+        for e in order:
+            m[v[e]] = _q(
+                m[v[e]] + norms[e] * np.maximum(h[u[e]] + ee[e], 0.0)
+            )
+
+    # Final tail (no ReLU) fused into pooling: per-dim running FM sum over
+    # nodes in order, then truncating division.
+    act = tail(m, h, L - 1)
+    total = np.zeros(act.shape[1], np.float64)
+    for nd in range(n):
+        total = _q(total + act[nd])
+    h_graph = _q(total / n)
+    out = _running_sum_linear(h_graph[None, :], pw, pb)[0]
+    return {"out": out, "h_graph": h_graph}

@@ -148,3 +148,22 @@ def test_gat_reference_feature_offset_bug(tmp_path, reference_root):
     hybrid = Graph(feats, g2.edge_index, g2.edge_attr)
     ours = gat_forward_fixed_exact(params, hybrid)["out"][0]
     np.testing.assert_array_equal([ours], golden[1:])
+
+
+def test_gcn_bit_exact_vs_reference_kernel(tmp_path, reference_root):
+    """Upgrades GCN from the calibrated envelope above to bit-level: the
+    fixed-exact oracle replays BN division truncation, the fused tails, and
+    the per-PE scatter order (VERDICT r1 item #7)."""
+    from flowgnn_tpu.golden import build_golden, run_golden
+    from flowgnn_tpu.reference.fixed_exact import gcn_forward_fixed_exact
+
+    if build_golden("GCN", reference_root) is None:
+        pytest.skip("golden binary unavailable")
+    graphs = synthetic_molhiv(16, seed=42)
+    gio.write_dataset(str(tmp_path), graphs)
+    golden = run_golden("GCN", str(tmp_path), 16, reference_root)
+    params = registry.get("gcn").loader(f"{reference_root}/GCN")
+    ours = np.array(
+        [gcn_forward_fixed_exact(params, g)["out"][0] for g in graphs]
+    )
+    np.testing.assert_array_equal(ours, golden)
