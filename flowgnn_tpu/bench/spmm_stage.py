@@ -1,0 +1,101 @@
+"""SpMM-stage micro-benchmark — the isolated message-reduction kernel.
+
+BASELINE.md's ">=70% of roofline" target names the SpMM (scatter) STAGE,
+not the whole model; round 1 reported only whole-model-vs-light-speed
+(with the relay dispatch floor folded in), which understates the kernel.
+This module times the graph-local ELL scatter kernel alone (pass-through
+epilogue: gather + message + scatter, no MLP) over the same batches the
+model bench ran, and reports two honest numbers:
+
+  * ``mxu_util`` — the kernel's own one-hot-matmul FLOPs vs MXU peak:
+    how well the kernel as written drives the hardware;
+  * ``roofline_frac`` — the USEFUL SpMM work (2·E·D flops, its HBM bytes)
+    vs its light-speed time: algorithmic efficiency including the W×
+    one-hot inflation the formulation pays to ride the MXU.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from .roofline import V5E, Cost
+
+
+def measure_spmm_stage(
+    batches: list[dict],
+    prec,
+    reps: int = 20,
+    trials: int = 3,
+    bf16: bool = True,
+    layers: int = 5,
+    dim: int = 100,
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import base as _base
+    from ..ops.pallas.local_layer import local_scatter_apply_ell
+
+    w = _base.PALLAS_ELL_WINDOW
+    blk = _base.PALLAS_ELL_BLOCK
+    dt = prec.compute_dtype
+
+    datas = []
+    lanes = real_edges = rows = 0
+    for b in batches:
+        n = b["node_feat"].shape[0]
+        p = b["loc_ulocal"].shape[0]
+        nw = -(-n // w)
+        k_blocks = p // (nw * blk)
+        datas.append(
+            (jnp.asarray(b["loc_ulocal"]), jnp.asarray(b["loc_vlocal"]),
+             nw, k_blocks)
+        )
+        lanes += p
+        real_edges += int((np.asarray(b["loc_vlocal"]) < w).sum())
+        rows += nw * w
+
+    def epilogue(acc, h_win, spill_win):
+        return acc + spill_win.astype(jnp.float32)
+
+    def one_pass(c):
+        for ul, vl, nw, kb in datas:
+            h = jnp.zeros((nw * w, dim), dt) + c
+            ee = jnp.zeros((ul.shape[0], dim), dt)
+            spill = jnp.zeros((nw * w, dim), dt)
+            for _ in range(layers):
+                h = local_scatter_apply_ell(
+                    ee, ul, vl, h, spill, (), epilogue, w, kb, dim
+                )
+            c = c + h[0, 0] * 0
+        return c
+
+    trial = jax.jit(
+        lambda c: jax.lax.fori_loop(0, reps, lambda i, cc: one_pass(cc), c)
+    )
+    carry = jnp.zeros((), dt)
+    np.asarray(trial(carry))
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(trial(carry))
+        best = min(best, (time.perf_counter() - t0) / reps)
+
+    b_el = 2 if bf16 else 4
+    # Kernel-as-written arithmetic: gather + scatter one-hot matmuls.
+    onehot_flops = layers * 4.0 * lanes * w * dim
+    # Useful SpMM work: one multiply-add per edge per dim for gather-sum and
+    # for scatter-sum, plus the stage's unavoidable HBM traffic.
+    useful = Cost(
+        layers * 4.0 * real_edges * dim,
+        layers * b_el * (lanes * dim * 0 + 3 * rows * dim + lanes * (dim + 8)),
+    )
+    peak = V5E.peak_bf16_flops if bf16 else V5E.peak_f32_flops
+    return {
+        "time_us": best * 1e6,
+        "mxu_util": onehot_flops / best / peak,
+        "roofline_frac": useful.light_speed_s(V5E, bf16) / best,
+        "achieved_tflops": onehot_flops / best / 1e12,
+    }

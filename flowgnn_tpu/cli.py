@@ -142,9 +142,94 @@ def run_case(
     }
 
 
+def run_accuracy(
+    name: str,
+    dataset: str,
+    prec,
+    reference_root: str,
+    num_graphs: int | None = None,
+    metric: str = "auto",
+) -> dict:
+    """Score a labelled dataset: reference-layout dir with labels.csv (from
+    ``convert``) or an OGB raw/ dir — SURVEY §4(c)'s OGB metric check."""
+    import jax
+    import numpy as np
+
+    from .bench.metrics import average_precision, roc_auc
+    from .core import ogb as ogb_io
+    from .core.graphs import pack_dataset
+    from .models import registry
+    from .models.base import as_batch, prepare_params
+
+    spec = registry.get(name)
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jparams = prepare_params(params, prec)
+
+    if os.path.exists(os.path.join(dataset, "num-node-list.csv")) or \
+            os.path.exists(os.path.join(dataset, "num-node-list.csv.gz")):
+        graphs, labels = ogb_io.load_ogb_raw(
+            dataset, with_eigen=spec.needs_eigen, limit=num_graphs
+        )
+    else:
+        labels = ogb_io.load_labels(dataset)
+        if labels is None:
+            raise SystemExit(
+                f"{dataset} has no labels.csv — produce one with "
+                "`python -m flowgnn_tpu.cli convert`"
+            )
+        graphs = _load_graphs(dataset, spec, num_graphs)
+        labels = labels[: len(graphs)]
+    graphs = registry.apply_transforms(spec, graphs)
+
+    buckets = list(
+        pack_dataset(
+            graphs, node_capacity=8192, edge_capacity=24576,
+            graph_capacity=512, with_eigen=spec.needs_eigen,
+        )
+    )
+    fwd = jax.jit(lambda p, b: spec.forward(p, b, prec))
+    scores = np.concatenate(
+        [np.asarray(fwd(jparams, as_batch(b)))[: b.num_graphs, 0]
+         for b in buckets]
+    )
+    if metric == "auto":
+        metric = "ap" if labels.shape[1] > 1 else "rocauc"
+    value = (
+        float(np.nanmean([
+            average_precision(labels[:, t], scores)
+            for t in range(labels.shape[1])
+        ]))
+        if metric == "ap"
+        else roc_auc(labels[:, 0], scores)
+    )
+    return {"model": name, "dataset": dataset, "metric": metric,
+            "value": value, "num_graphs": len(graphs)}
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="flowgnn_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
+
+    conv = sub.add_parser(
+        "convert", help="OGB raw CSVs -> reference dataset layout + labels"
+    )
+    conv.add_argument("--raw", required=True, help="OGB dataset raw/ dir")
+    conv.add_argument("--out", required=True)
+    conv.add_argument("--eigen", action="store_true",
+                      help="attach Laplacian eigenvectors (DGN)")
+    conv.add_argument("--limit", type=int, default=None)
+
+    acc = sub.add_parser("accuracy", help="score a labelled dataset")
+    acc.add_argument("--model", required=True,
+                     choices=["gin", "gin-vn", "gcn", "gat", "pna", "dgn"])
+    acc.add_argument("--dataset", required=True,
+                     help="reference-layout dir with labels.csv, or OGB raw/")
+    acc.add_argument("--metric", default="auto",
+                     choices=["auto", "rocauc", "ap"])
+    acc.add_argument("--num-graphs", type=int, default=None)
+    acc.add_argument("--f32", action="store_true")
+    acc.add_argument("--reference", default="/root/reference")
+
     run = sub.add_parser("run", help="run inference experiments")
     run.add_argument(
         "--model", default="all",
@@ -168,10 +253,26 @@ def main(argv=None) -> None:
     run.add_argument("--reference", default="/root/reference")
     args = ap.parse_args(argv)
 
+    if args.cmd == "convert":
+        from .core.ogb import convert_ogb
+
+        n = convert_ogb(args.raw, args.out, with_eigen=args.eigen,
+                        limit=args.limit)
+        print(f"converted {n} graphs -> {args.out}", file=sys.stderr)
+        return
+
     from .core.numerics import BF16, FLOAT32
     from .models import registry
 
     prec = FLOAT32 if args.f32 else BF16
+
+    if args.cmd == "accuracy":
+        r = run_accuracy(args.model, args.dataset, prec, args.reference,
+                         args.num_graphs, args.metric)
+        print(f"{r['model']} {r['metric']} = {r['value']:.4f} "
+              f"({r['num_graphs']} graphs)", file=sys.stderr)
+        print(json.dumps(r))
+        return
     names = list(registry.MODELS) if args.model == "all" else [args.model]
     results = []
     for name in names:

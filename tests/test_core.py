@@ -115,3 +115,67 @@ def test_fixed_spec_grid():
 
     assert AP_FIXED_16_3.epsilon == 1 / 8192
     assert AP_FIXED_16_3.max_val == pytest.approx(4 - 1 / 8192)
+
+
+def test_ogb_converter_roundtrip(tmp_path):
+    """OGB raw CSVs -> reference layout + labels -> accuracy pipeline."""
+    import numpy as np
+
+    from flowgnn_tpu.core import io as gio
+    from flowgnn_tpu.core import ogb as ogb_io
+    from flowgnn_tpu.core.synthetic import synthetic_molhiv
+
+    graphs = synthetic_molhiv(6, seed=1)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # Write the OGB raw layout from the synthetic graphs.
+    with open(raw / "num-node-list.csv", "w") as f:
+        f.writelines(f"{g.num_nodes}\n" for g in graphs)
+    with open(raw / "num-edge-list.csv", "w") as f:
+        f.writelines(f"{g.num_edges}\n" for g in graphs)
+    with open(raw / "node-feat.csv", "w") as f:
+        for g in graphs:
+            f.writelines(",".join(map(str, r)) + "\n" for r in g.node_feat)
+    with open(raw / "edge.csv", "w") as f:
+        for g in graphs:
+            f.writelines(f"{u},{v}\n" for u, v in g.edge_index)
+    with open(raw / "edge-feat.csv", "w") as f:
+        for g in graphs:
+            f.writelines(",".join(map(str, r)) + "\n" for r in g.edge_attr)
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, len(graphs))
+    with open(raw / "graph-label.csv", "w") as f:
+        f.writelines(f"{x}\n" for x in labels)
+
+    out = tmp_path / "ds"
+    n = ogb_io.convert_ogb(str(raw), str(out))
+    assert n == 6
+    back = list(gio.read_dataset(str(out)))
+    for g0, g1 in zip(graphs, back):
+        np.testing.assert_array_equal(g0.node_feat, g1.node_feat)
+        np.testing.assert_array_equal(g0.edge_index, g1.edge_index)
+        np.testing.assert_array_equal(g0.edge_attr, g1.edge_attr)
+    lab = ogb_io.load_labels(str(out))
+    np.testing.assert_array_equal(lab.ravel(), labels)
+
+
+def test_accuracy_cli_on_converted_dataset(tmp_path, reference_root):
+    """One-command accuracy path: labelled dataset -> ROC-AUC number."""
+    import json
+
+    import numpy as np
+
+    from flowgnn_tpu.cli import run_accuracy
+    from flowgnn_tpu.core import io as gio
+    from flowgnn_tpu.core.numerics import FLOAT32
+    from flowgnn_tpu.core.synthetic import synthetic_molhiv
+
+    graphs = synthetic_molhiv(8, seed=2)
+    gio.write_dataset(str(tmp_path), graphs)
+    rng = np.random.default_rng(1)
+    np.savetxt(tmp_path / "labels.csv", rng.integers(0, 2, (8, 1)),
+               delimiter=",")
+    r = run_accuracy("gin", str(tmp_path), FLOAT32, reference_root)
+    assert r["metric"] == "rocauc"
+    assert 0.0 <= r["value"] <= 1.0 or np.isnan(r["value"])
+    assert r["num_graphs"] == 8
