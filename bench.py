@@ -31,8 +31,15 @@ def main() -> None:
     ap.add_argument("--dataset", default="molhiv", help="molhiv|molpcba|hep10k (synthetic profile)")
     ap.add_argument("--graphs", type=int, default=None, help="override graph count")
     ap.add_argument("--trials", type=int, default=5)  # relay-variance guard: report best-of
-    ap.add_argument("--reps", type=int, default=20,
-                    help="stream passes per trial (amortizes relay RTT)")
+    ap.add_argument("--reps", type=int, default=100,
+                    help="stream passes per trial, run inside the program — "
+                         "matches the reference's 100-enqueue averaging "
+                         "(run_experiments.sh:44-46) and amortizes relay RTT")
+    ap.add_argument("--ell-window", type=int, default=None,
+                    help="override the graph-local kernel window")
+    ap.add_argument("--ell-block", type=int, default=None,
+                    help="override the graph-local kernel block (ELL lane "
+                         "capacity per grid step)")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--layout", default=None,
                     choices=["plain", "blocked", "local"],
@@ -90,9 +97,17 @@ def main() -> None:
             synthetic_dataset(args.dataset, seed=0, with_eigen=spec.needs_eigen,
                               num_graphs=num_graphs),
         )
-        layout_pre = args.layout or (
+        # local kernels win everywhere except GIN-VN, whose virtual-node
+        # star doubles edge density and measures slightly better on the
+        # windowed scatter. PNA uses the dest-major slot layout.
+        layout = args.layout or (
             "local" if name in ("gin", "gcn", "dgn", "gat", "pna") else "blocked"
         )
+        from flowgnn_tpu.models.base import ELL_GEOMETRY_DEFAULTS
+
+        gw, gb = ELL_GEOMETRY_DEFAULTS.get(name, (None, None))
+        ell_w = args.ell_window or gw or 512
+        ell_b = args.ell_block or gb or 1536
         buckets = list(
             pack_dataset(
                 graphs,
@@ -100,20 +115,17 @@ def main() -> None:
                 edge_capacity=args.edge_cap,
                 graph_capacity=args.graph_cap,
                 with_eigen=spec.needs_eigen,
-                align_window=512 if layout_pre == "local" else None,
+                align_window=ell_w if layout == "local" else None,
             )
-        )
-        # local kernels win everywhere except GIN-VN, whose virtual-node
-        # star doubles edge density and measures slightly better on the
-        # windowed scatter. PNA uses the dest-major slot layout.
-        layout = args.layout or (
-            "local" if name in ("gin", "gcn", "dgn", "gat", "pna") else "blocked"
         )
         blocked = {
             "plain": False, "blocked": True,
             "local": "local_slots" if name == "pna" else "local_ell",
         }[layout]
-        batches = [as_batch(b, blocked=blocked) for b in buckets]
+        batches = [
+            as_batch(b, blocked=blocked, window=ell_w, block=ell_b)
+            for b in buckets
+        ]
         total_graphs = sum(b.num_graphs for b in buckets)
         total_edges = sum(int(b.n_edge[:-1].sum()) for b in buckets)
 

@@ -35,11 +35,10 @@ def measure_spmm_stage(
     import jax
     import jax.numpy as jnp
 
-    from ..models import base as _base
+    from ..models.base import ell_geometry
     from ..ops.pallas.local_layer import local_scatter_apply_ell
 
-    w = _base.PALLAS_ELL_WINDOW
-    blk = _base.PALLAS_ELL_BLOCK
+    w, _ = ell_geometry(batches[0])
     dt = prec.compute_dtype
 
     datas = []
@@ -47,8 +46,8 @@ def measure_spmm_stage(
     for b in batches:
         n = b["node_feat"].shape[0]
         p = b["loc_ulocal"].shape[0]
+        w, k_blocks = ell_geometry(b)
         nw = -(-n // w)
-        k_blocks = p // (nw * blk)
         datas.append(
             (jnp.asarray(b["loc_ulocal"]), jnp.asarray(b["loc_vlocal"]),
              nw, k_blocks)

@@ -76,6 +76,10 @@ def run_case(
         "blocked": True,
         "local": "local_slots" if name == "pna" else "local_ell",
     }[layout]
+    from .models.base import ELL_GEOMETRY_DEFAULTS
+
+    ell_w, ell_b = ELL_GEOMETRY_DEFAULTS.get(name, (None, None))
+    ell_w, ell_b = ell_w or 512, ell_b or 1536
     buckets = list(
         pack_dataset(
             graphs,
@@ -83,11 +87,14 @@ def run_case(
             edge_capacity=caps[1],
             graph_capacity=caps[2],
             with_eigen=spec.needs_eigen,
-            align_window=512 if layout == "local" else None,
+            align_window=ell_w if layout == "local" else None,
         )
     )
     batches = [
-        jax.tree_util.tree_map(jax.device_put, as_batch(b, blocked=blocked))
+        jax.tree_util.tree_map(
+            jax.device_put,
+            as_batch(b, blocked=blocked, window=ell_w, block=ell_b),
+        )
         for b in buckets
     ]
     counts = [b.num_graphs for b in buckets]

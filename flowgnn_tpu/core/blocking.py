@@ -236,15 +236,63 @@ def build_local_blocks_ell(
     window: int = 128,
     block: int = 128,
     k_blocks: int | None = None,
-    spill_capacity: int = 32768,
+    spill_capacity: int | None = None,
 ) -> LocalBlocks:
     """ELL variant of the graph-local layout: every window owns exactly
     ``k_blocks`` edge blocks, so the kernel grid is (num_windows, k_blocks)
     with *static* index maps — measured ~3× lower per-block overhead than the
     scalar-prefetch dynamic mapping (BENCH.md). Edges beyond a window's ELL
-    capacity overflow to the spill tail together with window-crossing edges."""
+    capacity overflow to the spill tail together with window-crossing edges.
+
+    ``spill_capacity=None`` (default) auto-sizes the tail to the actual
+    spill count rounded up to a multiple of 1024 — and to ZERO lanes when
+    nothing spills (the common case for window-aligned molecule packing),
+    which lets the models skip the per-layer XLA spill reduction entirely.
+    Buckets of one stream share a compiled program as long as their rounded
+    spill sizes agree."""
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
+
+    # C++ fast path (runtime/packer.cc:fg_build_local_ell): identical output
+    # (asserted by test_runtime.py), ~5× faster on 32k-node buckets (3.1 vs
+    # 16.7 ms) than the per-window NumPy loop below, which stays as the
+    # oracle and the no-toolchain fallback.
+    import os as _os
+
+    if _os.environ.get("FLOWGNN_NO_NATIVE", "0") != "1":
+        try:
+            from ..runtime.native import build_local_ell_native
+
+            res = build_local_ell_native(
+                senders, receivers, num_nodes, window, block, k_blocks
+            )
+        except Exception:
+            res = None
+        if res is not None:
+            u_local, v_local, edge_perm, valid, spill_idx, k_native = res
+            if spill_capacity is None:
+                spill_capacity = (
+                    0 if spill_idx.size == 0
+                    else -(-int(spill_idx.size) // 1024) * 1024
+                )
+            if spill_idx.size > spill_capacity:
+                raise ValueError(
+                    f"spill capacity {spill_capacity} < {spill_idx.size}"
+                )
+            spill = np.zeros(spill_capacity, np.int32)
+            spill[: spill_idx.size] = spill_idx
+            nw = -(-num_nodes // window)
+            block_window = (
+                np.arange(nw * k_native) // k_native
+            ).astype(np.int32)
+            lb = LocalBlocks(
+                u_local, v_local, block_window, edge_perm, valid, spill,
+                window, block,
+            )
+            lb.spill_count = int(spill_idx.size)
+            lb.k_blocks = k_native
+            return lb
+
     real = receivers < num_nodes - 1  # row num_nodes-1 is the pad node
     local_mask = real & (senders // window == receivers // window)
 
@@ -287,6 +335,10 @@ def build_local_blocks_ell(
         i = j
 
     spill_idx = np.concatenate(spill_parts) if spill_parts else np.zeros(0, np.int32)
+    if spill_capacity is None:
+        spill_capacity = (
+            0 if spill_idx.size == 0 else -(-int(spill_idx.size) // 1024) * 1024
+        )
     if spill_idx.size > spill_capacity:
         raise ValueError(
             f"spill capacity {spill_capacity} < {spill_idx.size}"
@@ -310,7 +362,7 @@ def build_local_slots(
     num_nodes: int,
     window: int = 512,
     slots: int = 8,
-    spill_capacity: int = 4096,
+    spill_capacity: int | None = None,
 ):
     # Note: the spill tail feeds XLA segment-min/max, whose TPU lowering
     # compiles pathologically slowly with size — keep the tail small
@@ -353,6 +405,10 @@ def build_local_slots(
         [np.nonzero(real & ~local_mask)[0].astype(np.int32),
          np.asarray(overflow, np.int32)]
     ) if (overflow or (real & ~local_mask).any()) else np.zeros(0, np.int32)
+    if spill_capacity is None:  # auto-size like build_local_blocks_ell
+        spill_capacity = (
+            0 if spill_idx.size == 0 else -(-int(spill_idx.size) // 1024) * 1024
+        )
     if spill_idx.size > spill_capacity:
         raise ValueError(f"spill capacity {spill_capacity} < {spill_idx.size}")
     spill = np.zeros(spill_capacity, np.int32)

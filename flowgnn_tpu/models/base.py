@@ -33,10 +33,16 @@ PALLAS_BLOCK = 128
 # auto-sized per bucket from the edge-density distribution.
 PALLAS_ELL_WINDOW = 512
 PALLAS_ELL_BLOCK = 1536
+# Per-model (window, block) overrides — measured optima on v5e (BENCH.md).
+# Models absent here use the global PALLAS_ELL_* defaults.
+ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {}
 PALLAS_SLOTS = 8  # dest-major in-edge slots (PNA stats kernel)
 
 
-def as_batch(packed: PackedGraphs, blocked=False) -> dict:
+def as_batch(
+    packed: PackedGraphs, blocked=False, window: int | None = None,
+    block: int | None = None,
+) -> dict:
     """PackedGraphs → dict of numpy arrays ready for jnp/jit consumption.
 
     ``blocked=True`` attaches the segment-sorted edge-block layout that
@@ -45,6 +51,14 @@ def as_batch(packed: PackedGraphs, blocked=False) -> dict:
     layout (requires window-aligned packing — pack_graphs_aligned) that
     additionally keeps the gather in-window for the fully fused kernel
     (ops/pallas/local_layer.py); window-crossing edges go to a spill tail.
+
+    ``window``/``block`` override the ELL grid geometry (default
+    PALLAS_ELL_WINDOW/PALLAS_ELL_BLOCK); the chosen geometry rides in the
+    batch as the static shape of the ``loc_ell`` marker array (see
+    ``ell_geometry``), so models need no out-of-band configuration. The
+    spill tail is auto-sized to the actual spill count (zero lanes when
+    window-aligned packing leaves nothing to spill — the models then skip
+    the per-layer spill reduction entirely).
     """
     batch = {
         "node_feat": packed.node_feat,
@@ -61,15 +75,18 @@ def as_batch(packed: PackedGraphs, blocked=False) -> dict:
         from ..core.blocking import build_local_slots
 
         n = packed.node_capacity + 1
+        w = window or PALLAS_ELL_WINDOW
         u_slot, spill, count = build_local_slots(
             packed.senders, packed.receivers, n,
-            window=PALLAS_ELL_WINDOW, slots=PALLAS_SLOTS,
+            window=w, slots=PALLAS_SLOTS,
         )
         batch["slot_uslot"] = u_slot
         batch["slot_spill"] = spill
         batch["slot_spill_mask"] = (
             np.arange(spill.shape[0]) < count
         )
+        # Shape carries (window, slots) to the model — see ell_geometry.
+        batch["slot_geom"] = np.zeros((w, PALLAS_SLOTS), np.int32)
         return batch
     if blocked in ("local", "local_ell"):
         from ..core.blocking import build_local_blocks, build_local_blocks_ell
@@ -78,7 +95,8 @@ def as_batch(packed: PackedGraphs, blocked=False) -> dict:
         if blocked == "local_ell":
             lb = build_local_blocks_ell(
                 packed.senders, packed.receivers, n,
-                window=PALLAS_ELL_WINDOW, block=PALLAS_ELL_BLOCK,
+                window=window or PALLAS_ELL_WINDOW,
+                block=block or PALLAS_ELL_BLOCK,
             )
         else:
             lb = build_local_blocks(
@@ -109,7 +127,9 @@ def as_batch(packed: PackedGraphs, blocked=False) -> dict:
         batch["loc_ulocal"] = lb.u_local
         batch["loc_vlocal"] = lb.v_local
         if blocked == "local_ell":
-            batch["loc_ell"] = np.zeros(0, np.int32)  # marker: static grid
+            # Static-grid marker; its SHAPE carries the grid geometry
+            # (window, k_blocks) to the models — see ell_geometry().
+            batch["loc_ell"] = np.zeros((lb.window, lb.k_blocks), np.int32)
         else:
             batch["loc_window"] = lb.block_window
         return batch
@@ -132,6 +152,16 @@ def as_batch(packed: PackedGraphs, blocked=False) -> dict:
         batch["blk_vlocal"] = blocks.v_local
         batch["blk_window"] = blocks.block_window
     return batch
+
+
+def ell_geometry(batch: dict) -> tuple[int, int]:
+    """(window, k_blocks) of the batch's static ELL kernel grid.
+
+    The geometry rides in the SHAPE of the ``loc_ell`` marker array built by
+    ``as_batch``/``parallel.halo.build_halo_batch`` — trailing two dims so it
+    survives the leading chip axis of stacked halo batches."""
+    m = batch["loc_ell"]
+    return int(m.shape[-2]), int(m.shape[-1])
 
 
 def halo_mode(batch: dict, axis_name: Optional[str]) -> bool:

@@ -69,8 +69,8 @@ def forward(
     )
     if local:
         P = batch["loc_ulocal"].shape[0]
-        nw = -(-n // _base.PALLAS_ELL_WINDOW)
-        k_blocks = P // (nw * _base.PALLAS_ELL_BLOCK)
+        window, k_blocks = _base.ell_geometry(batch)
+        has_spill = u.shape[0] > P
 
     h = _atom_embed_dgn(params["atom_tables"], batch["node_feat"], prec)
     inter = [h]
@@ -78,20 +78,23 @@ def forward(
         if local:
             from ..ops.pallas.local_layer import dgn_local_message_ell
 
-            hsrc = halo_exchange(h, batch, edge_axis) if halo else h
-            x_sp = jnp.take(hsrc, u[P:], axis=0)
-            sp = jnp.concatenate([x_sp, eig_w[P:][:, None] * x_sp], axis=1)
-            m_spill = (
-                segment_sum(sp, v[P:], n + 1)[:n]
-                if halo else segment_sum(sp, v[P:], n)
-            )
             d = h.shape[1]
             m1_loc, m2_loc = dgn_local_message_ell(
                 batch["loc_ulocal"], batch["loc_vlocal"], h, eig,
-                _base.PALLAS_ELL_WINDOW, k_blocks,
+                window, k_blocks,
             )
-            m1 = prec.q(m1_loc + m_spill[:, :d])
-            m2 = prec.q(m2_loc + m_spill[:, d:])
+            if has_spill:
+                hsrc = halo_exchange(h, batch, edge_axis) if halo else h
+                x_sp = jnp.take(hsrc, u[P:], axis=0)
+                sp = jnp.concatenate([x_sp, eig_w[P:][:, None] * x_sp], axis=1)
+                m_spill = (
+                    segment_sum(sp, v[P:], n + 1)[:n]
+                    if halo else segment_sum(sp, v[P:], n)
+                )
+                m1 = prec.q(m1_loc + m_spill[:, :d])
+                m2 = prec.q(m2_loc + m_spill[:, d:])
+            else:
+                m1, m2 = prec.q(m1_loc), prec.q(m2_loc)
         else:
             x = gather_sources(h, batch, edge_axis)
             d = x.shape[1]

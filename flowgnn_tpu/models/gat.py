@@ -89,8 +89,8 @@ def forward(
     )
     if local:
         P = batch["loc_ulocal"].shape[0]
-        nw = -(-n // _base.PALLAS_ELL_WINDOW)
-        k_blocks = P // (nw * _base.PALLAS_ELL_BLOCK)
+        window, k_blocks = _base.ell_geometry(batch)
+        has_spill = u.shape[0] > P
 
     inter = [h]
     out_feat = None
@@ -98,33 +98,38 @@ def forward(
         if local:
             from ..ops.pallas.local_layer import gat_local_message_ell
 
-            if halo:
-                # One exchange ships h and s_tgt together for the spill
-                # gathers; pad spill lanes target the trash row (= n) and
-                # are sliced off by the reduction, so no masking is needed.
-                ext = halo_exchange(
-                    jnp.concatenate([h.reshape(n, H * D), s_tgt], axis=1),
-                    batch, edge_axis,
+            if has_spill:
+                if halo:
+                    # One exchange ships h and s_tgt together for the spill
+                    # gathers; pad spill lanes target the trash row (= n) and
+                    # are sliced off by the reduction, so no masking is needed.
+                    ext = halo_exchange(
+                        jnp.concatenate([h.reshape(n, H * D), s_tgt], axis=1),
+                        batch, edge_axis,
+                    )
+                    s_tgt_src = ext[:, H * D :]
+                    h_src_flat = ext[:, : H * D]
+                else:
+                    s_tgt_src = s_tgt
+                    h_src_flat = h.reshape(n, H * D)
+                raw_sp = jnp.take(s_src, v[P:], axis=0) + jnp.take(
+                    s_tgt_src, u[P:], axis=0
                 )
-                s_tgt_src = ext[:, H * D :]
-                h_src_flat = ext[:, : H * D]
+                sc_sp = jnp.exp(
+                    jnp.where(raw_sp < 0, raw_sp * LEAKY_SLOPE, raw_sp)
+                )
+                # Mask pad spill lanes (u == v == pad node would score 1).
+                pad_cut = n if halo else n - 1
+                sc_sp = sc_sp * (v[P:] < pad_cut)[:, None].astype(sc_sp.dtype)
+                h_sp = jnp.take(h_src_flat, u[P:], axis=0)
+                sp_both = segment_sum(
+                    jnp.concatenate(
+                        [jnp.repeat(sc_sp, D, axis=1) * h_sp, sc_sp], axis=1
+                    ),
+                    v[P:], n + 1 if halo else n,
+                )[:n]
             else:
-                s_tgt_src = s_tgt
-                h_src_flat = h.reshape(n, H * D)
-            raw_sp = jnp.take(s_src, v[P:], axis=0) + jnp.take(
-                s_tgt_src, u[P:], axis=0
-            )
-            sc_sp = jnp.exp(jnp.where(raw_sp < 0, raw_sp * LEAKY_SLOPE, raw_sp))
-            # Mask pad spill lanes (u == v == pad node would score 1).
-            pad_cut = n if halo else n - 1
-            sc_sp = sc_sp * (v[P:] < pad_cut)[:, None].astype(sc_sp.dtype)
-            h_sp = jnp.take(h_src_flat, u[P:], axis=0)
-            sp_both = segment_sum(
-                jnp.concatenate(
-                    [jnp.repeat(sc_sp, D, axis=1) * h_sp, sc_sp], axis=1
-                ),
-                v[P:], n + 1 if halo else n,
-            )[:n]
+                sp_both = None
             if l != L - 1 and FUSE_LAYERS:
                 # Fully fused layer: softmax divide, skip-proj, ELU and the
                 # NEXT layer's projection + scores all run in the kernel
@@ -145,10 +150,12 @@ def forward(
                 fused_out = gat_local_layer_ell(
                     batch["loc_ulocal"], batch["loc_vlocal"],
                     h.reshape(n, H * D), s_src, s_tgt,
-                    prev.reshape(n, H * D), sp_both,
+                    prev.reshape(n, H * D),
+                    sp_both if sp_both is not None
+                    else jnp.zeros((n, H * D + H), prec.compute_dtype),
                     params["skip_w"][l].reshape(H * D, H * D),
                     params["proj_w"][l + 1].reshape(H * D, H * D),
-                    a_mat, _base.PALLAS_ELL_WINDOW, k_blocks, H,
+                    a_mat, window, k_blocks, H,
                 )
                 h = prec.q(fused_out[:, : H * D]).reshape(n, H, D)
                 prev = prec.q(fused_out[:, H * D : 2 * H * D]).reshape(n, H, D)
@@ -159,8 +166,10 @@ def forward(
             both = gat_local_message_ell(
                 batch["loc_ulocal"], batch["loc_vlocal"],
                 h.reshape(n, H * D), s_src, s_tgt,
-                _base.PALLAS_ELL_WINDOW, k_blocks, H,
-            ) + sp_both
+                window, k_blocks, H,
+            )
+            if sp_both is not None:
+                both = both + sp_both
             msg = prec.q(both[:, : H * D]).reshape(n, H, D)
             denom = both[:, H * D :]
         elif halo_mode(batch, edge_axis):

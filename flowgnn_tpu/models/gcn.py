@@ -57,14 +57,15 @@ def forward(
         from ..core.features import BOND_FEATURE_OFFSETS
 
         P = batch["loc_ulocal"].shape[0]
-        nw = -(-n // _base.PALLAS_ELL_WINDOW)
-        k_blocks = P // (nw * _base.PALLAS_ELL_BLOCK)
+        window, k_blocks = _base.ell_geometry(batch)
+        has_spill = u.shape[0] > P
         attr_off = (
             batch["edge_attr"][:P] + jnp.asarray(BOND_FEATURE_OFFSETS)[None, :]
         )
-        norm_spill = prec.q(
-            (jnp.take(dis_src, u[P:]) * jnp.take(dis, v[P:]))[:, None]
-        )
+        if has_spill:
+            norm_spill = prec.q(
+                (jnp.take(dis_src, u[P:]) * jnp.take(dis, v[P:]))[:, None]
+            )
     else:
         norm = prec.q((jnp.take(dis_src, u) * jnp.take(dis, v))[:, None])
 
@@ -88,22 +89,27 @@ def forward(
         if local:
             from ..ops.pallas.local_layer import gcn_local_message_ell
 
-            ee_spill = bond_embed(
-                params["edge_embedding"][l], batch["edge_attr"][P:], prec
-            )
-            hsrc = halo_exchange(h, batch, edge_axis) if halo else h
-            spill_msg = norm_spill * relu(jnp.take(hsrc, u[P:], axis=0) + ee_spill)
-            m_spill = (
-                segment_sum(spill_msg, v[P:], n + 1)[:n]
-                if halo else segment_sum(spill_msg, v[P:], n)
-            )
             m_loc = gcn_local_message_ell(
                 attr_off,
                 params["edge_embedding"][l].astype(prec.compute_dtype),
                 batch["loc_ulocal"], batch["loc_vlocal"], h, dis,
-                _base.PALLAS_ELL_WINDOW, k_blocks,
+                window, k_blocks,
             )
-            m = prec.q(m_loc + m_spill)
+            if has_spill:
+                ee_spill = bond_embed(
+                    params["edge_embedding"][l], batch["edge_attr"][P:], prec
+                )
+                hsrc = halo_exchange(h, batch, edge_axis) if halo else h
+                spill_msg = norm_spill * relu(
+                    jnp.take(hsrc, u[P:], axis=0) + ee_spill
+                )
+                m_spill = (
+                    segment_sum(spill_msg, v[P:], n + 1)[:n]
+                    if halo else segment_sum(spill_msg, v[P:], n)
+                )
+                m = prec.q(m_loc + m_spill)
+            else:
+                m = prec.q(m_loc)
         else:
             ee = bond_embed(params["edge_embedding"][l], batch["edge_attr"], prec)
             msg = norm * relu(gather_sources(h, batch, edge_axis) + ee)

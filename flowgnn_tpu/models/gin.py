@@ -79,23 +79,25 @@ def forward(
             P = batch["loc_ulocal"].shape[0]
             from ..ops.pallas.local_layer import gin_local_layer_ell
 
-            ee_spill = bond_embed(
-                params["edge_embedding"][l], batch["edge_attr"][P:], prec
-            )
-            hsrc = _base.halo_exchange(h, batch, edge_axis) if halo else h
-            spill_msg = relu(jnp.take(hsrc, u[P:], axis=0) + ee_spill)
-            m_spill = (
-                segment_sum(spill_msg, v[P:], n + 1)[:n]
-                if halo else segment_sum(spill_msg, v[P:], n)
-            )
+            window, k_blocks = _base.ell_geometry(batch)
+            if u.shape[0] > P:  # spill tail present (auto-sized at pack time)
+                ee_spill = bond_embed(
+                    params["edge_embedding"][l], batch["edge_attr"][P:], prec
+                )
+                hsrc = _base.halo_exchange(h, batch, edge_axis) if halo else h
+                spill_msg = relu(jnp.take(hsrc, u[P:], axis=0) + ee_spill)
+                m_spill = (
+                    segment_sum(spill_msg, v[P:], n + 1)[:n]
+                    if halo else segment_sum(spill_msg, v[P:], n)
+                )
+            else:
+                m_spill = jnp.zeros_like(h)
             h = gin_local_layer_ell(
                 None, batch["loc_ulocal"], batch["loc_vlocal"], h, m_spill,
                 params["mlp1_w"][l], params["mlp1_b"][l],
                 params["mlp2_w"][l], params["mlp2_b"][l],
                 (1.0 + eps[l]).astype(jnp.float32).reshape(1, 1),
-                _base.PALLAS_ELL_WINDOW,
-                batch["loc_ulocal"].shape[0]
-                // (-(-n // _base.PALLAS_ELL_WINDOW) * _base.PALLAS_ELL_BLOCK),
+                window, k_blocks,
                 final_relu=l != L - 1,
                 edge_attr=attr_off[:P],
                 ee_table=params["edge_embedding"][l].astype(prec.compute_dtype),

@@ -58,40 +58,43 @@ def forward(
     )
     if slots:
         sp = batch["slot_spill"]
-        sp_mask = batch["slot_spill_mask"]
-        # Masked-out spill lanes are index-0 duplicates; neutralise them by
-        # routing both endpoints at the discard row (pad node n-1 on a
-        # single chip, the trash row n on a halo shard — never read).
-        dead = n if halo else n - 1
-        sp_u = jnp.where(sp_mask, u[sp], dead)
-        sp_v = jnp.where(sp_mask, v[sp], dead)
+        has_spill = sp.shape[-1] > 0  # auto-sized to 0 when nothing spilled
+        if has_spill:
+            sp_mask = batch["slot_spill_mask"]
+            # Masked-out spill lanes are index-0 duplicates; neutralise them
+            # by routing both endpoints at the discard row (pad node n-1 on
+            # a single chip, the trash row n on a halo shard — never read).
+            dead = n if halo else n - 1
+            sp_u = jnp.where(sp_mask, u[sp], dead)
+            sp_v = jnp.where(sp_mask, v[sp], dead)
 
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     inter = [h]
     for l in range(L):
         d = h.shape[1]
         if slots:
-            from .base import PALLAS_ELL_WINDOW, PALLAS_SLOTS
             from ..ops.pallas.local_layer import pna_local_stats_ell
 
+            window, n_slots = batch["slot_geom"].shape[-2:]
             # Kernel arg order: (min-accumulator seed, max-accumulator seed)
             # = (upper extreme, lower extreme) — PNA/src/util.h ap_fixed_min/max.
             st = pna_local_stats_ell(
-                batch["slot_uslot"], h, PALLAS_ELL_WINDOW, PALLAS_SLOTS,
+                batch["slot_uslot"], h, int(window), int(n_slots),
                 MAX_INIT, MIN_INIT,
             )
             s, s2 = st[:, :d], st[:, d : 2 * d]
-            hsrc = (
-                _base.halo_exchange(h, batch, edge_axis) if halo else h
-            )
-            x_sp = jnp.take(hsrc, sp_u, axis=0)
-            ns = n + 1 if halo else n
-            s = s + segment_sum(x_sp, sp_v, ns)[:n]
-            s2 = s2 + segment_sum(x_sp * x_sp, sp_v, ns)[:n]
-            mn = jnp.minimum(st[:, 2 * d : 3 * d],
-                             segment_min(x_sp, sp_v, ns, MAX_INIT)[:n])
-            mx = jnp.maximum(st[:, 3 * d :],
-                             segment_max(x_sp, sp_v, ns, MIN_INIT)[:n])
+            mn = st[:, 2 * d : 3 * d]
+            mx = st[:, 3 * d :]
+            if has_spill:
+                hsrc = (
+                    _base.halo_exchange(h, batch, edge_axis) if halo else h
+                )
+                x_sp = jnp.take(hsrc, sp_u, axis=0)
+                ns = n + 1 if halo else n
+                s = s + segment_sum(x_sp, sp_v, ns)[:n]
+                s2 = s2 + segment_sum(x_sp * x_sp, sp_v, ns)[:n]
+                mn = jnp.minimum(mn, segment_min(x_sp, sp_v, ns, MAX_INIT)[:n])
+                mx = jnp.maximum(mx, segment_max(x_sp, sp_v, ns, MIN_INIT)[:n])
         else:
             x = gather_sources(h, batch, edge_axis)
             ss = edge_segment_sum(

@@ -201,7 +201,9 @@ def build_halo_batch(
             sh_attr[i, p_lanes : p_lanes + nsp] = edge_attr[ei[sp]]
         extras["loc_ulocal"] = np.stack([lb.u_local for lb in lbs])
         extras["loc_vlocal"] = np.stack([lb.v_local for lb in lbs])
-        extras["loc_ell"] = np.zeros((k, 0), np.int32)  # static-grid marker
+        # Static-grid marker; trailing dims carry (window, k_blocks) to the
+        # models through shard_map slicing (models/base.py:ell_geometry).
+        extras["loc_ell"] = np.zeros((k, window, k_blocks), np.int32)
     else:
         for i, (ei, s_ext, r_loc) in enumerate(per_chip):
             sh_send[i, : ei.size] = s_ext
@@ -223,6 +225,9 @@ def build_halo_batch(
             extras["slot_uslot"] = np.stack(slot_u)
             extras["slot_spill"] = np.stack(slot_sp)
             extras["slot_spill_mask"] = np.stack(slot_mask)
+            extras["slot_geom"] = np.zeros(
+                (k, window, PALLAS_SLOTS), np.int32
+            )
 
     batch = {
         "node_feat": node_feat,

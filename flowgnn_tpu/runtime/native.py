@@ -56,6 +56,11 @@ def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB)
         lib.fg_pack_bucket.restype = ctypes.c_int32
         lib.fg_read_graph.restype = ctypes.c_int32
+        lib.fg_build_local_ell.restype = ctypes.c_int32
+        lib.fg_build_local_ell.argtypes = [
+            _i32p, _i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -128,6 +133,50 @@ def read_graph_native(dataset_dir: str, index: int, with_attr: bool = True) -> G
     if rc != 0:
         raise IOError(f"graph {index} read failed: rc={rc}")
     return Graph(node_feat, edge_index, edge_attr)
+
+
+def build_local_ell_native(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    window: int,
+    block: int,
+    k_blocks: Optional[int] = None,
+):
+    """Native graph-local ELL layout (fg_build_local_ell) — identical output
+    to core/blocking.build_local_blocks_ell's NumPy path (test_runtime.py).
+
+    Returns (u_local, v_local, edge_perm, valid, spill_idx, k_blocks) or
+    None when the native library is unavailable.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(senders, np.int32)
+    r = np.ascontiguousarray(receivers, np.int32)
+    e = s.shape[0]
+    k_io = ctypes.c_int32(-1 if k_blocks is None else k_blocks)
+    if k_blocks is None:  # probe: auto-size k from the window counts
+        lib.fg_build_local_ell(
+            _as_i32p(s), _as_i32p(r), e, num_nodes, window, block,
+            ctypes.byref(k_io), None, None, None, None, None,
+        )
+    num_windows = -(-num_nodes // window)
+    p = num_windows * k_io.value * block
+    u_local = np.empty(p, np.int32)
+    v_local = np.empty(p, np.int32)
+    edge_perm = np.empty(p, np.int32)
+    valid = np.empty(p, np.int32)
+    spill = np.empty(max(e, 1), np.int32)
+    n_spill = lib.fg_build_local_ell(
+        _as_i32p(s), _as_i32p(r), e, num_nodes, window, block,
+        ctypes.byref(k_io), _as_i32p(u_local), _as_i32p(v_local),
+        _as_i32p(edge_perm), _as_i32p(valid), _as_i32p(spill),
+    )
+    return (
+        u_local, v_local, edge_perm, valid.astype(bool),
+        spill[:n_spill].copy(), int(k_io.value),
+    )
 
 
 def pack_dataset_native(

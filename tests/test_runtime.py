@@ -49,3 +49,36 @@ def test_native_reader_roundtrip(lib, tmp_path, graphs16):
 def test_native_dataset_pack(lib, graphs16):
     buckets = list(native.pack_dataset_native(graphs16, 128, 512, 8))
     assert sum(int((b.n_node[:-1] > 0).sum()) for b in buckets) == 16
+
+
+@pytest.mark.parametrize("window,block,k", [(64, 64, None), (64, 32, 2),
+                                            (128, 96, None)])
+def test_native_local_ell_matches_numpy(lib, monkeypatch, graphs16,
+                                        window, block, k):
+    """fg_build_local_ell == the NumPy builder, lane for lane (incl. the
+    auto-k percentile and the spill order: crossing edges then per-window
+    overflow)."""
+    import os
+
+    from flowgnn_tpu.core.blocking import build_local_blocks_ell
+    from flowgnn_tpu.core.graphs import pack_graphs_aligned
+
+    packed = pack_graphs_aligned(graphs16, window=window, *CAPS)
+    n = packed.node_capacity + 1
+    monkeypatch.setenv("FLOWGNN_NO_NATIVE", "1")
+    want = build_local_blocks_ell(
+        packed.senders, packed.receivers, n, window=window, block=block,
+        k_blocks=k,
+    )
+    monkeypatch.delenv("FLOWGNN_NO_NATIVE")
+    got = native.build_local_ell_native(
+        packed.senders, packed.receivers, n, window, block, k,
+    )
+    assert got is not None
+    u_local, v_local, edge_perm, valid, spill_idx, k_native = got
+    assert k_native == want.k_blocks
+    np.testing.assert_array_equal(u_local, want.u_local)
+    np.testing.assert_array_equal(v_local, want.v_local)
+    np.testing.assert_array_equal(edge_perm, want.edge_perm)
+    np.testing.assert_array_equal(valid, want.valid)
+    np.testing.assert_array_equal(spill_idx, want.spill[: want.spill_count])
