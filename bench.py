@@ -44,8 +44,8 @@ def main() -> None:
     ap.add_argument("--layout", default=None,
                     choices=["plain", "blocked", "local"],
                     help="edge layout: plain XLA scatter, Pallas windowed "
-                         "scatter (default), or the graph-local fully fused "
-                         "kernel (GIN family)")
+                         "scatter, or the graph-local fused kernels "
+                         "(default for all six models)")
     ap.add_argument("--node-cap", type=int, default=32768)
     ap.add_argument("--edge-cap", type=int, default=98304)
     ap.add_argument("--graph-cap", type=int, default=2048)
@@ -97,12 +97,11 @@ def main() -> None:
             synthetic_dataset(args.dataset, seed=0, with_eigen=spec.needs_eigen,
                               num_graphs=num_graphs),
         )
-        # local kernels win everywhere except GIN-VN, whose virtual-node
-        # star doubles edge density and measures slightly better on the
-        # windowed scatter. PNA uses the dest-major slot layout.
-        layout = args.layout or (
-            "local" if name in ("gin", "gcn", "dgn", "gat", "pna") else "blocked"
-        )
+        # Round-2: the graph-local kernels win for ALL six models (GIN-VN's
+        # round-1 "windowed scatter wins" was an artifact of the fixed 1536
+        # block — its VN star pushed k to 2; at W512/B2048 local is 2.2×
+        # faster). PNA uses the dest-major slot layout.
+        layout = args.layout or "local"
         from flowgnn_tpu.models.base import ELL_GEOMETRY_DEFAULTS
 
         gw, gb = ELL_GEOMETRY_DEFAULTS.get(name, (None, None))

@@ -70,7 +70,7 @@ def run_case(
     graphs = registry.apply_transforms(spec, _load_graphs(dataset, spec, num_graphs))
     # Same model-dependent defaults as bench.py.
     if layout is None:
-        layout = "local" if name in ("gin", "gcn", "dgn", "gat", "pna") else "blocked"
+        layout = "local"  # round-2: the graph-local kernels win for ALL six models
     blocked = {
         "plain": False,
         "blocked": True,

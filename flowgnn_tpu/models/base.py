@@ -33,9 +33,20 @@ PALLAS_BLOCK = 128
 # auto-sized per bucket from the edge-density distribution.
 PALLAS_ELL_WINDOW = 512
 PALLAS_ELL_BLOCK = 1536
-# Per-model (window, block) overrides — measured optima on v5e (BENCH.md).
-# Models absent here use the global PALLAS_ELL_* defaults.
-ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {}
+# Per-model (window, block) overrides — measured optima on v5e (BENCH.md
+# round-2 sweep). Models absent here use the global PALLAS_ELL_* defaults.
+# Drivers: molhiv density ≈3.2 lanes/node with self-loops (GAT) or the VN
+# star (GIN-VN) vs ≈1.7 plain — one block must hold a whole window's edges
+# (k=1) or the grid doubles; smaller windows then cut the one-hot matmul
+# FLOPs (∝ window) until per-step grid overhead takes over.
+ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
+    "gin": (256, 768),
+    "gin-vn": (512, 2048),
+    "gcn": (256, 1024),
+    "gat": (256, 1024),
+    "dgn": (256, 1024),
+    "pna": (512, 1536),  # dest-major slot kernel: W512 beats W256 (3.03 vs 3.43)
+}
 PALLAS_SLOTS = 8  # dest-major in-edge slots (PNA stats kernel)
 
 

@@ -30,6 +30,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# ELL grids: the window dimension writes disjoint output rows (parallel);
+# the inner dimension accumulates into VMEM scratch and must stay in order.
+_ELL_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary")
+)
+
 
 def local_scatter_apply(
     ee: jnp.ndarray,  # [P, D] per-lane edge embeddings (blocked local order)
@@ -205,6 +211,7 @@ def local_scatter_apply_ell(
     return pl.pallas_call(
         kernel,
         grid=(num_windows, k_blocks),
+        compiler_params=_ELL_PARAMS,
         in_specs=[
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
@@ -287,6 +294,7 @@ def local_scatter_apply_ell_attr(
     return pl.pallas_call(
         kernel,
         grid=(num_windows, k_blocks),
+        compiler_params=_ELL_PARAMS,
         in_specs=[
             pl.BlockSpec((block, 3), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
@@ -414,6 +422,7 @@ def gcn_local_message_ell(
     out = pl.pallas_call(
         kernel,
         grid=(num_windows, k_blocks),
+        compiler_params=_ELL_PARAMS,
         in_specs=[
             pl.BlockSpec((block, 3), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
@@ -479,6 +488,7 @@ def dgn_local_message_ell(
     out = pl.pallas_call(
         kernel,
         grid=(num_windows, k_blocks),
+        compiler_params=_ELL_PARAMS,
         in_specs=[
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
@@ -565,6 +575,7 @@ def gat_local_message_ell(
     out = pl.pallas_call(
         kernel,
         grid=(num_windows, k_blocks),
+        compiler_params=_ELL_PARAMS,
         in_specs=[
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
@@ -635,6 +646,7 @@ def pna_local_stats_ell(
     out = pl.pallas_call(
         kernel,
         grid=(num_windows, slots),
+        compiler_params=_ELL_PARAMS,
         in_specs=[
             pl.BlockSpec((window, 1), lambda w, s: (w * slots + s, 0)),
             pl.BlockSpec((window, d), lambda w, s: (w, 0)),
@@ -756,6 +768,7 @@ def gat_local_layer_ell(
     out = pl.pallas_call(
         kernel,
         grid=(num_windows, k_blocks),
+        compiler_params=_ELL_PARAMS,
         in_specs=[
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
