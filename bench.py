@@ -40,6 +40,9 @@ def main() -> None:
     ap.add_argument("--ell-block", type=int, default=None,
                     help="override the graph-local kernel block (ELL lane "
                          "capacity per grid step)")
+    ap.add_argument("--ell-wps", type=int, default=None,
+                    help="windows per ELL grid step (k=1 layouts; sets "
+                         "FLOWGNN_ELL_WPS)")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--layout", default=None,
                     choices=["plain", "blocked", "local"],
@@ -50,6 +53,10 @@ def main() -> None:
     ap.add_argument("--edge-cap", type=int, default=98304)
     ap.add_argument("--graph-cap", type=int, default=2048)
     args = ap.parse_args()
+    if args.ell_wps:
+        import os
+
+        os.environ["FLOWGNN_ELL_WPS"] = str(args.ell_wps)
 
     import jax
 

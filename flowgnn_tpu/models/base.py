@@ -48,6 +48,19 @@ ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
     "pna": (512, 1536),  # dest-major slot kernel: W512 beats W256 (3.03 vs 3.43)
 }
 PALLAS_SLOTS = 8  # dest-major in-edge slots (PNA stats kernel)
+# Windows per ELL grid step (k=1 layouts): >1 unrolls wps windows into one
+# Pallas step — wps× fewer grid steps paying dispatch overhead, wps×-taller
+# epilogue matmuls. Measured optima on v5e; FLOWGNN_ELL_WPS overrides.
+ELL_WPS_DEFAULTS: dict[str, int] = {}
+
+
+def ell_wps(model: str) -> int:
+    import os
+
+    env = os.environ.get("FLOWGNN_ELL_WPS")
+    if env:
+        return int(env)
+    return ELL_WPS_DEFAULTS.get(model, 1)
 
 
 def as_batch(

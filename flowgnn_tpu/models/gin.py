@@ -101,6 +101,7 @@ def forward(
                 final_relu=l != L - 1,
                 edge_attr=attr_off[:P],
                 ee_table=params["edge_embedding"][l].astype(prec.compute_dtype),
+                wps=_base.ell_wps("gin"),
             )
             inter.append(h)
             continue

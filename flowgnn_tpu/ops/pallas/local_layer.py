@@ -162,6 +162,124 @@ def gin_local_layer(
     return out[:n]
 
 
+def _local_scatter_apply_ell_wps(
+    ee,  # [NW·B, D] or None (then edge_attr+ee_table)
+    edge_attr,  # [NW·B, 3] int32 or None
+    ee_table,  # [V, D] or None
+    u_local, v_local, h, m_spill, extras, epilogue,
+    window: int, wps: int, out_dim: int,
+) -> jnp.ndarray:
+    """Multi-window grid step (k_blocks == 1 layouts only): each Pallas step
+    owns ``wps`` consecutive windows. The per-window gather/message/scatter
+    runs as an unrolled inner loop over static slices of the step's block,
+    and the epilogue is applied ONCE over the stacked [wps·W, D] accumulator
+    — wps× fewer grid steps paying dispatch overhead, and wps×-taller
+    epilogue matmuls for the MXU. Trailing pad windows (to a wps multiple)
+    carry sentinel lanes, so their one-hot rows are zero."""
+    p = (ee if ee is not None else edge_attr).shape[0]
+    d = h.shape[1]
+    num_windows = h.shape[0] // window
+    block = p // num_windows
+    nw_pad = (-num_windows) % wps
+    if nw_pad:
+        h = jnp.pad(h, ((0, nw_pad * window), (0, 0)))
+        m_spill = jnp.pad(m_spill, ((0, nw_pad * window), (0, 0)))
+        lane_pad = jnp.full((nw_pad * block,), window, u_local.dtype)
+        u_local = jnp.concatenate([u_local, lane_pad])
+        v_local = jnp.concatenate([v_local, lane_pad])
+        if ee is not None:
+            ee = jnp.pad(ee, ((0, nw_pad * block), (0, 0)))
+        if edge_attr is not None:
+            edge_attr = jnp.pad(edge_attr, ((0, nw_pad * block), (0, 0)))
+    nw_total = num_windows + nw_pad
+    groups = nw_total // wps
+    in_kernel_ee = edge_attr is not None
+    vocab = ee_table.shape[0] if in_kernel_ee else 0
+
+    def kernel(*refs):
+        if in_kernel_ee:
+            attr_ref, uloc_ref, vloc_ref, tab_ref, h_ref, spill_ref = refs[:6]
+            extra_refs = refs[6:-1]
+        else:
+            uloc_ref, vloc_ref, ee_ref, h_ref, spill_ref = refs[:5]
+            extra_refs = refs[5:-1]
+        out_ref = refs[-1]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+        uloc = uloc_ref[:, 0]
+        vloc = vloc_ref[:, 0]
+        hh = h_ref[:]
+        accs = []
+        for i in range(wps):
+            ls = slice(i * block, (i + 1) * block)
+            hw = hh[i * window : (i + 1) * window]
+            if in_kernel_ee:
+                attr = attr_ref[ls]
+                vlanes = jax.lax.broadcasted_iota(jnp.int32, (block, vocab), 1)
+                multihot = (
+                    (attr[:, 0][:, None] == vlanes).astype(hh.dtype)
+                    + (attr[:, 1][:, None] == vlanes).astype(hh.dtype)
+                    + (attr[:, 2][:, None] == vlanes).astype(hh.dtype)
+                )
+                ee_i = jnp.dot(
+                    multihot, tab_ref[:], preferred_element_type=jnp.float32
+                )
+            else:
+                ee_i = ee_ref[ls].astype(jnp.float32)
+            onehot_u = (uloc[ls][:, None] == lanes).astype(hh.dtype)
+            h_u = jnp.dot(onehot_u, hw, preferred_element_type=jnp.float32)
+            msg = jnp.maximum(h_u + ee_i, 0).astype(hh.dtype)
+            onehot_v = (vloc[ls][:, None] == lanes).astype(hh.dtype)
+            accs.append(jax.lax.dot_general(
+                onehot_v, msg,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        acc = jnp.concatenate(accs, axis=0)
+        out_ref[:] = epilogue(acc, hh, spill_ref[:], *extra_refs).astype(
+            out_ref.dtype
+        )
+
+    lane_specs = [
+        pl.BlockSpec((wps * block, 1), lambda g: (g, 0)),
+        pl.BlockSpec((wps * block, 1), lambda g: (g, 0)),
+    ]
+    if in_kernel_ee:
+        in_specs = [
+            pl.BlockSpec((wps * block, 3), lambda g: (g, 0)),
+            *lane_specs,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        ins = (edge_attr, u_local[:, None], v_local[:, None], ee_table)
+    else:
+        in_specs = [
+            *lane_specs,
+            pl.BlockSpec((wps * block, d), lambda g: (g, 0)),
+        ]
+        ins = (u_local[:, None], v_local[:, None], ee)
+    in_specs += [
+        pl.BlockSpec((wps * window, d), lambda g: (g, 0)),
+        pl.BlockSpec((wps * window, d), lambda g: (g, 0)),
+        *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in extras],
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(groups,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((wps * window, out_dim), lambda g: (g, 0)),
+        out_shape=jax.ShapeDtypeStruct((nw_total * window, out_dim), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=(6 if in_kernel_ee else 4) * p * window * d,
+            bytes_accessed=(p + 3 * nw_total * window) * d * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(*ins, h, m_spill, *extras)
+    return out[: num_windows * window]
+
+
 def local_scatter_apply_ell(
     ee: jnp.ndarray,  # [NW·K·B, D]
     u_local: jnp.ndarray,  # [NW·K·B]
@@ -173,9 +291,15 @@ def local_scatter_apply_ell(
     window: int,
     k_blocks: int,
     out_dim: int,
+    wps: int = 1,
 ) -> jnp.ndarray:
     """ELL-grid variant: (num_windows, k_blocks) grid with static index maps
     — no scalar prefetch, ~3× lower per-block overhead (BENCH.md)."""
+    if wps > 1 and k_blocks == 1:
+        return _local_scatter_apply_ell_wps(
+            ee, None, None, u_local, v_local, h, m_spill, extras, epilogue,
+            window, wps, out_dim,
+        )
     p, d = ee.shape
     num_windows = h.shape[0] // window
     block = p // (num_windows * k_blocks)
@@ -244,12 +368,18 @@ def local_scatter_apply_ell_attr(
     window: int,
     k_blocks: int,
     out_dim: int,
+    wps: int = 1,
 ) -> jnp.ndarray:
     """ELL local kernel with IN-KERNEL edge embedding: per block a multi-hot
     [B, 13] (three ones per lane — the 3 bond features against the
     concatenated table, GIN/src/message_passing.cc:136-146) matmuls the
     [13, D] table on the MXU, so the [E, D] edge-embedding tensor never
     exists (profiled at ~220 µs/layer of pure HBM traffic in the XLA form)."""
+    if wps > 1 and k_blocks == 1:
+        return _local_scatter_apply_ell_wps(
+            None, edge_attr, ee_table, u_local, v_local, h, m_spill,
+            extras, epilogue, window, wps, out_dim,
+        )
     p, _ = edge_attr.shape
     d = h.shape[1]
     num_windows = h.shape[0] // window
@@ -320,7 +450,7 @@ def local_scatter_apply_ell_attr(
 def gin_local_layer_ell(
     ee, u_local, v_local, h, m_spill,
     w1, b1, w2, b2, eps1, window, k_blocks, final_relu,
-    edge_attr=None, ee_table=None,
+    edge_attr=None, ee_table=None, wps=1,
 ):
     """GIN layer over the ELL local layout (static grid). If ``edge_attr``
     and ``ee_table`` are given, the edge embedding is computed in-kernel and
@@ -354,12 +484,12 @@ def gin_local_layer_ell(
     if edge_attr is not None:
         out = local_scatter_apply_ell_attr(
             edge_attr, ee_table, u_local, v_local, h, m_spill,
-            extras, epilogue, window, k_blocks, d,
+            extras, epilogue, window, k_blocks, d, wps=wps,
         )
     else:
         out = local_scatter_apply_ell(
             ee, u_local, v_local, h, m_spill,
-            extras, epilogue, window, k_blocks, d,
+            extras, epilogue, window, k_blocks, d, wps=wps,
         )
     return out[:n]
 

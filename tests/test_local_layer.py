@@ -121,6 +121,37 @@ def test_local_ell_equals_plain(graphs16, reference_root):
                     rtol=1e-5, atol=1e-5)
 
 
+def test_gin_local_ell_wps_equals_plain(graphs16, reference_root, monkeypatch):
+    """Multi-window grid steps (wps>1, k=1 layouts) match the plain path,
+    including a wps that does not divide the window count (pad-window path).
+    Non-vacuous: asserts the grouped kernel actually ran."""
+    import flowgnn_tpu.ops.pallas.local_layer as ll
+
+    spec = registry.get("gin")
+    params = spec.loader(os.path.join(reference_root, "GIN"))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:4])
+    small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
+    plain = spec.forward(jp, as_batch(pack_graphs(tg, **small)), FLOAT32)
+    # block=512 ≥ any 128-node window's lane count → k_blocks == 1.
+    batch = as_batch(pack_graphs_aligned(tg, window=128, **small),
+                     blocked="local_ell", window=128, block=512)
+    calls = []
+    orig = ll._local_scatter_apply_ell_wps
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ll, "_local_scatter_apply_ell_wps", spy)
+    for wps in (2, 3):  # 513 rows → 5 windows: 3 does not divide → pads
+        monkeypatch.setenv("FLOWGNN_ELL_WPS", str(wps))
+        out = spec.forward(jp, batch, FLOAT32)
+        assert_allclose(np.asarray(out)[:4], np.asarray(plain)[:4],
+                        rtol=1e-5, atol=1e-5, msg=f"wps={wps}")
+    assert len(calls) >= 2  # the grouped path ran (once per layer per wps)
+
+
 def test_local_ell_overflow_spills(reference_root):
     """A window denser than K·B edges overflows into the spill tail."""
     import flowgnn_tpu.models.base as base
