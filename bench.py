@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -135,52 +134,16 @@ def main() -> None:
         total_graphs = sum(b.num_graphs for b in buckets)
         total_edges = sum(int(b.n_edge[:-1].sum()) for b in buckets)
 
-        # Timing protocol for the tunneled chip (mirrors the reference's
-        # measurement discipline — weights and the whole graph stream resident
-        # on the device before N timed enqueues, GIN/src/host.cc:203-210):
-        #  * params AND batches are closed over as executable constants, so
-        #    nothing but a scalar crosses the relay per enqueue (the relay
-        #    re-uploads plain arguments on every call and its
-        #    block_until_ready can return early — both would otherwise
-        #    swamp device time),
-        #  * every enqueue is chained through a scalar carry that feeds the
-        #    embedding table (strict serialization, no constant folding),
-        #  * one host readback at the end forces the whole chain.
-        import jax.numpy as jnp
-
-        emb_key = "node_embedding" if "node_embedding" in jparams else (
-            "atom_tables" if "atom_tables" in jparams else "proj_w"
+        # Timing protocol for the tunneled chip: see
+        # flowgnn_tpu/bench/protocol.py (device-resident constants, chained
+        # scalar carry, reps inside the program, one closing readback).
+        from flowgnn_tpu.bench.protocol import (
+            dispatch_floor as measure_floor, time_stream,
         )
 
-        def one_pass(carry):
-            c = carry
-            for batch in batches:
-                p = dict(jparams)
-                p[emb_key] = p[emb_key] + c
-                out = spec.forward(p, batch, prec)
-                c = c + out[0, 0] * 0
-            return c
-
-        # reps run INSIDE the program (fori_loop with the carry dependency):
-        # one dispatch per trial, so the relay's ~1.5 ms per-call RTT doesn't
-        # inflate per-pass device time.
-        def trial_fn(carry):
-            return jax.lax.fori_loop(
-                0, args.reps, lambda i, c: one_pass(c), carry
-            )
-
-        trial = jax.jit(trial_fn)
-        carry = jnp.zeros((), prec.compute_dtype)
-        np.asarray(trial(carry))  # compile + warm
-
-        times = []
-        for _ in range(args.trials):
-            t0 = time.perf_counter()
-            c = trial(carry)
-            np.asarray(c)
-            times.append((time.perf_counter() - t0) / args.reps)
-        best = min(times)
-        avg = sum(times) / len(times)
+        best, avg = time_stream(
+            spec, jparams, batches, prec, args.reps, args.trials
+        )
         total_nodes = sum(int(b.n_node[:-1].sum()) for b in buckets)
         roof = roofline_report(
             name, total_nodes, total_edges, best, bf16=not args.f32
@@ -192,14 +155,7 @@ def main() -> None:
         # target), (b) whole model vs light speed (roof above), (c) the
         # relay dispatch floor (amortized 1/reps into each pass by the
         # reps-in-program protocol).
-        floor_fn = jax.jit(lambda c: c + 1.0)
-        np.asarray(floor_fn(carry))
-        floors = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(floor_fn(carry))
-            floors.append(time.perf_counter() - t0)
-        dispatch_floor = min(floors)
+        dispatch_floor = measure_floor(prec)
 
         spmm = {}
         if "loc_ulocal" in batches[0]:

@@ -237,6 +237,21 @@ def main(argv=None) -> None:
     acc.add_argument("--f32", action="store_true")
     acc.add_argument("--reference", default="/root/reference")
 
+    tune = sub.add_parser(
+        "tune", help="sweep graph-local kernel geometry on this backend"
+    )
+    tune.add_argument("--model", required=True,
+                      choices=["gin", "gin-vn", "gcn", "gat", "pna", "dgn"])
+    tune.add_argument("--dataset", default="molhiv",
+                      help="synthetic profile (molhiv|molpcba|hep10k)")
+    tune.add_argument("--windows", default="128,256,512",
+                      help="comma-separated window sizes to sweep")
+    tune.add_argument("--num-graphs", type=int, default=1028)
+    tune.add_argument("--reps", type=int, default=50)
+    tune.add_argument("--trials", type=int, default=3)
+    tune.add_argument("--f32", action="store_true")
+    tune.add_argument("--reference", default="/root/reference")
+
     run = sub.add_parser("run", help="run inference experiments")
     run.add_argument(
         "--model", default="all",
@@ -266,6 +281,21 @@ def main(argv=None) -> None:
         n = convert_ogb(args.raw, args.out, with_eigen=args.eigen,
                         limit=args.limit)
         print(f"converted {n} graphs -> {args.out}", file=sys.stderr)
+        return
+
+    if args.cmd == "tune":
+        import json as _json
+
+        from .bench.tune import sweep
+
+        out = sweep(
+            args.model, dataset=args.dataset,
+            num_graphs=args.num_graphs,
+            windows=tuple(int(w) for w in args.windows.split(",")),
+            reps=args.reps, trials=args.trials, f32=args.f32,
+            reference=args.reference,
+        )
+        print(_json.dumps(out))
         return
 
     from .core.numerics import BF16, FLOAT32

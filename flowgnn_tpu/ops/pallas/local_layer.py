@@ -506,19 +506,24 @@ def gcn_local_message_ell(
 ) -> jnp.ndarray:
     """GCN message reduction m[v] = Σ dis_u·dis_v·relu(h_u + ee) against
     window-local state (GCN/src/message_passing.cc:148-167 + the norm from
-    GCN/src/load_inputs.cc:121-163). Norm factors are gathered in-window via
-    the same one-hot matmuls. Returns [n, D]."""
+    GCN/src/load_inputs.cc:121-163).
+
+    Two algebraic matmul eliminations vs the naive form: dis_u rides the
+    feature gather as an extra column ([W, D+1] fits the same 128-lane
+    tile at D=100), and dis_v FACTORS OUT of the per-dest sum — it scales
+    the accumulated window rows once on the last block instead of being
+    gathered per edge. 4 one-hot matmuls/block → 2. Returns [n, D]."""
     n, d = h.shape
     num_windows = -(-n // window)
     pad = num_windows * window - n
     hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
     dis2 = jnp.pad(dis[:, None], ((0, pad), (0, 0))) if pad else dis[:, None]
+    hcat = jnp.concatenate([hp, dis2.astype(hp.dtype)], axis=1)  # [NW·W, D+1]
     p = edge_attr.shape[0]
     block = p // (num_windows * k_blocks)
     vocab = ee_table.shape[0]
 
-    def kernel(attr_ref, uloc_ref, vloc_ref, tab_ref, h_ref, dis_ref,
-               out_ref, acc_ref):
+    def kernel(attr_ref, uloc_ref, vloc_ref, tab_ref, h_ref, out_ref, acc_ref):
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -535,10 +540,9 @@ def gcn_local_message_ell(
         ee = jnp.dot(multihot, tab_ref[:], preferred_element_type=jnp.float32)
         onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
         onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
-        h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
-        dis_u = jnp.dot(onehot_u, dis_ref[:], preferred_element_type=jnp.float32)
-        dis_v = jnp.dot(onehot_v, dis_ref[:], preferred_element_type=jnp.float32)
-        msg = (dis_u * dis_v * jnp.maximum(h_u + ee, 0)).astype(h_ref.dtype)
+        hu_all = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        h_u, dis_u = hu_all[:, :d], hu_all[:, d:]
+        msg = (dis_u * jnp.maximum(h_u + ee, 0)).astype(h_ref.dtype)
         acc_ref[:] += jax.lax.dot_general(
             onehot_v, msg,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -547,7 +551,8 @@ def gcn_local_message_ell(
 
         @pl.when(k == k_blocks - 1)
         def _():
-            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+            dis_win = h_ref[:, d:].astype(jnp.float32)
+            out_ref[:] = (acc_ref[:] * dis_win).astype(out_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
@@ -558,14 +563,13 @@ def gcn_local_message_ell(
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((window, d), lambda w, k: (w, 0)),
-            pl.BlockSpec((window, 1), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, d + 1), lambda w, k: (w, 0)),
         ],
         out_specs=pl.BlockSpec((window, d), lambda w, k: (w, 0)),
         scratch_shapes=[pltpu.VMEM((window, d), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((num_windows * window, d), h.dtype),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(edge_attr, u_local[:, None], v_local[:, None], ee_table, hp, dis2)
+    )(edge_attr, u_local[:, None], v_local[:, None], ee_table, hcat)
     return out[:n]
 
 
@@ -579,16 +583,23 @@ def dgn_local_message_ell(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """DGN two-channel messages m1[v] = Σ h_u, m2[v] = Σ (eig_u − eig_v)·h_u
     (DGN/src/message_passing.cc:120-153) against window-local state.
+
+    Algebraic matmul eliminations: eig_u rides the feature gather as an
+    extra column, and the eig_v term distributes over the sum —
+    m2 = Σ eig_u·h_u − eig_v·(Σ h_u) = acc₂ − eig_v ⊙ m1 — so it is
+    applied once per window row on the last block instead of being
+    gathered per edge. 4 one-hot matmuls/block → 2.
     Returns ([n, D], [n, D])."""
     n, d = h.shape
     num_windows = -(-n // window)
     pad = num_windows * window - n
     hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
     eig2 = jnp.pad(eig[:, None], ((0, pad), (0, 0))) if pad else eig[:, None]
+    hcat = jnp.concatenate([hp, eig2.astype(hp.dtype)], axis=1)  # [NW·W, D+1]
     p = u_local.shape[0]
     block = p // (num_windows * k_blocks)
 
-    def kernel(uloc_ref, vloc_ref, h_ref, eig_ref, out_ref, acc_ref):
+    def kernel(uloc_ref, vloc_ref, h_ref, out_ref, acc_ref):
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -598,13 +609,9 @@ def dgn_local_message_ell(
         lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
         onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
         onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
-        h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
-        eig_u = jnp.dot(onehot_u, eig_ref[:], preferred_element_type=jnp.float32)
-        eig_v = jnp.dot(onehot_v, eig_ref[:], preferred_element_type=jnp.float32)
-        w_lane = eig_u - eig_v
-        both = jnp.concatenate(
-            [h_u, w_lane * h_u], axis=1
-        ).astype(h_ref.dtype)
+        hu_all = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        h_u, eig_u = hu_all[:, :d], hu_all[:, d:]
+        both = jnp.concatenate([h_u, eig_u * h_u], axis=1).astype(h_ref.dtype)
         acc_ref[:] += jax.lax.dot_general(
             onehot_v, both,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -613,7 +620,10 @@ def dgn_local_message_ell(
 
         @pl.when(k == k_blocks - 1)
         def _():
-            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+            m1 = acc_ref[:, :d]
+            eig_win = h_ref[:, d:].astype(jnp.float32)
+            m2 = acc_ref[:, d:] - eig_win * m1
+            out_ref[:] = jnp.concatenate([m1, m2], axis=1).astype(out_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
@@ -622,14 +632,13 @@ def dgn_local_message_ell(
         in_specs=[
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((window, d), lambda w, k: (w, 0)),
-            pl.BlockSpec((window, 1), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, d + 1), lambda w, k: (w, 0)),
         ],
         out_specs=pl.BlockSpec((window, 2 * d), lambda w, k: (w, 0)),
         scratch_shapes=[pltpu.VMEM((window, 2 * d), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((num_windows * window, 2 * d), h.dtype),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(u_local[:, None], v_local[:, None], hp, eig2)
+    )(u_local[:, None], v_local[:, None], hcat)
     return out[:n, :d], out[:n, d:]
 
 
@@ -648,8 +657,11 @@ def gat_local_message_ell(
     Per edge (u→v): score = exp(leakyrelu_0.2(s_src[v] + s_tgt[u])) per head
     (GAT/src/message_passing.cc:122-148 — raw exp, reference-faithful);
     accumulates [Σ score⊗h_u ‖ Σ score] per dest. All gathers are in-window
-    one-hot matmuls; the [E, H·D] scored tensor never exists in HBM.
-    Returns [n, H·D + H] (caller divides by the trailing score sums).
+    one-hot matmuls, and s_tgt rides the feature gather as trailing columns
+    ([W, H·D + H] = 68 lanes at the reference config shares h's 128-lane
+    tile) — one gather matmul fewer per block; the [E, H·D] scored tensor
+    never exists in HBM. Returns [n, H·D + H] (caller divides by the
+    trailing score sums).
     """
     n, hd = h.shape
     d = hd // num_heads
@@ -659,11 +671,12 @@ def gat_local_message_ell(
         h = jnp.pad(h, ((0, pad), (0, 0)))
         s_src = jnp.pad(s_src, ((0, pad), (0, 0)))
         s_tgt = jnp.pad(s_tgt, ((0, pad), (0, 0)))
+    hcat = jnp.concatenate([h, s_tgt.astype(h.dtype)], axis=1)  # [NW·W, H·D+H]
     p = u_local.shape[0]
     block = p // (num_windows * k_blocks)
     out_dim = hd + num_heads
 
-    def kernel(uloc_ref, vloc_ref, h_ref, ssrc_ref, stgt_ref, out_ref, acc_ref):
+    def kernel(uloc_ref, vloc_ref, h_ref, ssrc_ref, out_ref, acc_ref):
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -673,9 +686,9 @@ def gat_local_message_ell(
         lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
         onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
         onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
-        h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        hu_all = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        h_u, s2 = hu_all[:, :hd], hu_all[:, hd:]
         s1 = jnp.dot(onehot_v, ssrc_ref[:], preferred_element_type=jnp.float32)
-        s2 = jnp.dot(onehot_u, stgt_ref[:], preferred_element_type=jnp.float32)
         raw = s1 + s2
         score = jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
         # Sentinel lanes have all-zero one-hots → raw = 0 → score = 1; mask
@@ -709,15 +722,14 @@ def gat_local_message_ell(
         in_specs=[
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((window, hd), lambda w, k: (w, 0)),
-            pl.BlockSpec((window, num_heads), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, hd + num_heads), lambda w, k: (w, 0)),
             pl.BlockSpec((window, num_heads), lambda w, k: (w, 0)),
         ],
         out_specs=pl.BlockSpec((window, out_dim), lambda w, k: (w, 0)),
         scratch_shapes=[pltpu.VMEM((window, out_dim), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((num_windows * window, out_dim), h.dtype),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(u_local[:, None], v_local[:, None], h, s_src, s_tgt)
+    )(u_local[:, None], v_local[:, None], hcat, s_src)
     return out[:n]
 
 
@@ -732,63 +744,60 @@ def pna_local_stats_ell(
     """PNA's four running aggregates (sum, sum², min, max —
     PNA/src/message_passing.cc:121-147) against window-local state.
 
-    Grid (num_windows, slots): per step one [W, W] one-hot gathers every
-    dest row's slot-s in-edge source, and all four statistics update as
-    DENSE elementwise ops over the slot axis — the layout transposition
-    that removes scatter-min/max entirely (XLA's lowering of those was both
-    slow and minutes-long to compile). Returns [n, 4·D] channels
-    (sum ‖ sum² ‖ min ‖ max), seeded at the reference's ap_fixed extremes.
+    Grid (num_windows,): ONE step per window. The whole window's slot table
+    gathers in a single stacked [S·W, W] one-hot matmul (MXU-shaped: tall
+    rows, ≥128 minor), then the four statistics update as an unrolled DENSE
+    loop over the S slot slices — the layout transposition that removes
+    scatter-min/max entirely (XLA's lowering of those was both slow and
+    minutes-long to compile), now also without the per-slot grid steps that
+    dominated the round-2 interim version (slots× fewer steps, no scratch
+    accumulators). Returns [n, 4·D] channels (sum ‖ sum² ‖ min ‖ max),
+    seeded at the reference's ap_fixed extremes.
     """
     n, d = h.shape
     num_windows = -(-n // window)
     pad = num_windows * window - n
     hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
+    sw = slots * window
 
-    def kernel(uslot_ref, h_ref, out_ref, sum_ref, sq_ref, mn_ref, mx_ref):
-        s = pl.program_id(1)
-
-        @pl.when(s == 0)
-        def _():
-            sum_ref[:] = jnp.zeros_like(sum_ref)
-            sq_ref[:] = jnp.zeros_like(sq_ref)
-            mn_ref[:] = jnp.full_like(mn_ref, min_init)
-            mx_ref[:] = jnp.full_like(mx_ref, max_init)
-
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (window, window), 1)
-        onehot = (uslot_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
-        h_u = jnp.dot(onehot, h_ref[:], preferred_element_type=jnp.float32)
-        valid = (uslot_ref[:, 0] < window)[:, None].astype(jnp.float32)
-        sum_ref[:] += h_u * valid
-        sq_ref[:] += h_u * h_u * valid
-        mn_ref[:] = jnp.minimum(
-            mn_ref[:], jnp.where(valid > 0, h_u, min_init)
-        )
-        mx_ref[:] = jnp.maximum(
-            mx_ref[:], jnp.where(valid > 0, h_u, max_init)
-        )
-
-        @pl.when(s == slots - 1)
-        def _():
-            out_ref[:] = jnp.concatenate(
-                [sum_ref[:], sq_ref[:], mn_ref[:], mx_ref[:]], axis=1
-            ).astype(out_ref.dtype)
+    def kernel(uslot_ref, h_ref, out_ref):
+        uslot = uslot_ref[:, 0]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1)
+        onehot = (uslot[:, None] == lanes).astype(h_ref.dtype)
+        h_all = jnp.dot(onehot, h_ref[:], preferred_element_type=jnp.float32)
+        valid_all = (uslot < window)[:, None].astype(jnp.float32)
+        acc_s = jnp.zeros((window, d), jnp.float32)
+        acc_q = jnp.zeros((window, d), jnp.float32)
+        acc_mn = jnp.full((window, d), min_init, jnp.float32)
+        acc_mx = jnp.full((window, d), max_init, jnp.float32)
+        for s in range(slots):
+            h_u = h_all[s * window : (s + 1) * window]
+            valid = valid_all[s * window : (s + 1) * window]
+            acc_s += h_u * valid
+            acc_q += h_u * h_u * valid
+            acc_mn = jnp.minimum(acc_mn, jnp.where(valid > 0, h_u, min_init))
+            acc_mx = jnp.maximum(acc_mx, jnp.where(valid > 0, h_u, max_init))
+        out_ref[:] = jnp.concatenate(
+            [acc_s, acc_q, acc_mn, acc_mx], axis=1
+        ).astype(out_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
-        grid=(num_windows, slots),
-        compiler_params=_ELL_PARAMS,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         in_specs=[
-            pl.BlockSpec((window, 1), lambda w, s: (w * slots + s, 0)),
-            pl.BlockSpec((window, d), lambda w, s: (w, 0)),
+            pl.BlockSpec((sw, 1), lambda w: (w, 0)),
+            pl.BlockSpec((window, d), lambda w: (w, 0)),
         ],
-        out_specs=pl.BlockSpec((window, 4 * d), lambda w, s: (w, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((window, d), jnp.float32),
-            pltpu.VMEM((window, d), jnp.float32),
-            pltpu.VMEM((window, d), jnp.float32),
-            pltpu.VMEM((window, d), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((window, 4 * d), lambda w: (w, 0)),
         out_shape=jax.ShapeDtypeStruct((num_windows * window, 4 * d), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_windows * sw * window * d,
+            bytes_accessed=(num_windows * sw + 5 * num_windows * window) * d * 4,
+            transcendentals=0,
+        ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
     )(u_slot[:, None], hp)
     return out[:n]
@@ -832,11 +841,12 @@ def gat_local_layer_ell(
         s_tgt = jnp.pad(s_tgt, ((0, pad), (0, 0)))
         prev = jnp.pad(prev, ((0, pad), (0, 0)))
         spill_both = jnp.pad(spill_both, ((0, pad), (0, 0)))
+    hcat = jnp.concatenate([h, s_tgt.astype(h.dtype)], axis=1)  # [NW·W, H·D+H]
     p = u_local.shape[0]
     block = p // (num_windows * k_blocks)
     out_dim = 2 * hd + 2 * num_heads
 
-    def kernel(uloc_ref, vloc_ref, h_ref, ssrc_ref, stgt_ref, prev_ref,
+    def kernel(uloc_ref, vloc_ref, h_ref, ssrc_ref, prev_ref,
                spill_ref, wskip_ref, wproj_ref, amat_ref, out_ref, acc_ref):
         k = pl.program_id(1)
 
@@ -847,9 +857,9 @@ def gat_local_layer_ell(
         lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
         onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
         onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
-        h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        hu_all = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        h_u, s2 = hu_all[:, :hd], hu_all[:, hd:]
         s1 = jnp.dot(onehot_v, ssrc_ref[:], preferred_element_type=jnp.float32)
-        s2 = jnp.dot(onehot_u, stgt_ref[:], preferred_element_type=jnp.float32)
         raw = s1 + s2
         score = jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
         valid = (vloc_ref[:, 0] < window)[:, None].astype(jnp.float32)
@@ -902,8 +912,7 @@ def gat_local_layer_ell(
         in_specs=[
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((window, hd), lambda w, k: (w, 0)),
-            pl.BlockSpec((window, num_heads), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, hd + num_heads), lambda w, k: (w, 0)),
             pl.BlockSpec((window, num_heads), lambda w, k: (w, 0)),
             pl.BlockSpec((window, hd), lambda w, k: (w, 0)),
             pl.BlockSpec((window, hd + num_heads), lambda w, k: (w, 0)),
@@ -920,6 +929,6 @@ def gat_local_layer_ell(
             transcendentals=p * num_heads,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(u_local[:, None], v_local[:, None], h, s_src, s_tgt, prev, spill_both,
+    )(u_local[:, None], v_local[:, None], hcat, s_src, prev, spill_both,
       w_skip, w_proj, a_mat)
     return out[:n]
