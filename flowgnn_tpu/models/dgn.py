@@ -75,6 +75,26 @@ def forward(
     h = _atom_embed_dgn(params["atom_tables"], batch["node_feat"], prec)
     inter = [h]
     for l in range(L):
+        if local and not has_spill:
+            # No-spill fast path: the whole layer (two-channel gather,
+            # mean + directional-derivative normalisation, posttrans,
+            # residual) runs as ONE kernel pass — see
+            # ops/pallas/local_layer.py:dgn_local_layer_ell.
+            from ..ops.pallas.local_layer import dgn_local_layer_ell
+
+            w_post = params["posttrans_w"][l].reshape(
+                params["posttrans_w"].shape[1], -1
+            ).T
+            h = prec.q(
+                dgn_local_layer_ell(
+                    batch["loc_ulocal"], batch["loc_vlocal"], h, eig,
+                    (1.0 / deg)[:, 0], eigw_sum, 1.0 / eig_abssum,
+                    w_post, params["posttrans_b"][l][None, :],
+                    window, k_blocks,
+                )
+            )
+            inter.append(h)
+            continue
         if local:
             from ..ops.pallas.local_layer import dgn_local_message_ell
 

@@ -83,6 +83,48 @@ def forward(
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     m = jnp.zeros_like(h)
     inter = [h]
+    if local and not has_spill:
+        # No-spill fast path: after the first conv, each layer (norm-scaled
+        # message gather, root-emb tail, folded BatchNorm, ReLU and the NEXT
+        # conv matmul) runs as ONE kernel pass; the final kernel returns the
+        # no-ReLU tail for pooling — see
+        # ops/pallas/local_layer.py:gcn_local_layer_ell.
+        from ..ops.pallas.local_layer import gcn_local_layer_ell
+
+        dt = prec.compute_dtype
+        h = linear(h, params["conv_w"][0], params["conv_b"][0], prec)
+        inter.append(h)
+        for l in range(L):
+            final = l == L - 1
+            s = jnp.sqrt(
+                params["bn_var"][l].astype(jnp.float32) + BN_EPS
+            )
+            alpha = (params["bn_weight"][l] / s).astype(dt)
+            beta = (
+                params["bn_bias"][l] - params["bn_mean"][l] * alpha
+            ).astype(dt)
+            h = prec.q(
+                gcn_local_layer_ell(
+                    attr_off,
+                    params["edge_embedding"][l].astype(dt),
+                    batch["loc_ulocal"], batch["loc_vlocal"], h, dis,
+                    params["root_emb"][l][None, :],
+                    alpha[None, :], beta[None, :],
+                    None if final else params["conv_w"][l + 1].T,
+                    None if final else params["conv_b"][l + 1][None, :],
+                    window, k_blocks,
+                )
+            )
+            if not final:
+                inter.append(h)
+        a = h
+        h_graph = mean_pool(
+            a, batch, prec, edge_axis if halo_mode(batch, edge_axis) else None
+        )
+        out = linear(h_graph, params["pred_w"], params["pred_b"], prec)
+        if return_intermediates:
+            return out, {"layers": inter, "h_graph": h_graph}
+        return out
     for l in range(L):
         a = h if l == 0 else relu(tail(m, h, l - 1))
         h = linear(a, params["conv_w"][l], params["conv_b"][l], prec)

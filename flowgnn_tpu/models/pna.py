@@ -72,6 +72,28 @@ def forward(
     inter = [h]
     for l in range(L):
         d = h.shape[1]
+        if slots and not has_spill:
+            # No-spill fast path: the whole layer (4-aggregate gather,
+            # mean/std, scaler tower, residual) runs as ONE kernel pass —
+            # see ops/pallas/local_layer.py:pna_local_layer.
+            from ..ops.pallas.local_layer import pna_local_layer
+
+            window, n_slots = batch["slot_geom"].shape[-2:]
+            wl = params["conv_w"][l]  # [D_out, 3, 4, D_in]
+            d_out = wl.shape[0]
+            w_cat = jnp.concatenate(
+                [wl[:, i].reshape(d_out, -1).T for i in range(3)], axis=1
+            )
+            h = prec.q(
+                pna_local_layer(
+                    batch["slot_uslot"], h,
+                    (1.0 / in_deg)[:, 0], t[:, 0], scale[:, 0],
+                    w_cat, params["conv_b"][l][None, :],
+                    int(window), int(n_slots), MAX_INIT, MIN_INIT,
+                )
+            )
+            inter.append(h)
+            continue
         if slots:
             from ..ops.pallas.local_layer import pna_local_stats_ell
 

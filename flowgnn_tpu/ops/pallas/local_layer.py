@@ -573,6 +573,123 @@ def gcn_local_message_ell(
     return out[:n]
 
 
+def gcn_local_layer_ell(
+    edge_attr: jnp.ndarray,  # [P, 3] int32 (offsets applied)
+    ee_table: jnp.ndarray,  # [13, D] layer-l bond-embedding table
+    u_local: jnp.ndarray,
+    v_local: jnp.ndarray,
+    h: jnp.ndarray,  # [n, D] layer-l post-conv features
+    dis: jnp.ndarray,  # [n] 1/sqrt(deg+1)
+    root: jnp.ndarray,  # [1, D] root_emb[l]
+    alpha: jnp.ndarray,  # [1, D] bn_weight/sqrt(var+BN_EPS)
+    beta: jnp.ndarray,  # [1, D] bn_bias − bn_mean·alpha
+    w_next,  # [D, D] NEXT conv weight transposed for a @ W, or None (final)
+    b_next,  # [1, D] or None
+    window: int,
+    k_blocks: int,
+) -> jnp.ndarray:
+    """One whole GCN layer in a single VMEM pass (no-spill fast path).
+
+    Message phase = gcn_local_message_ell's factored norm gather; the
+    epilogue then fuses the reference's pre-matmul tail
+    (GCN/src/node_embedding.cc:122-146): root-emb residual (the 1/(deg+1)
+    divisor is dis², already per-window), folded BatchNorm (α·a + β), ReLU,
+    and the NEXT layer's [D → D] conv matmul — the [n, D] message tensor
+    never exists in HBM. The final layer (w_next=None) returns the tail
+    without ReLU (GCN/src/finalize.cc:88-96) for pooling.
+    Returns next-h (or the final tail) [n, D].
+    """
+    n, d = h.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
+    dis2 = jnp.pad(dis[:, None], ((0, pad), (0, 0))) if pad else dis[:, None]
+    hcat = jnp.concatenate([hp, dis2.astype(hp.dtype)], axis=1)  # [NW·W, D+1]
+    p = edge_attr.shape[0]
+    block = p // (num_windows * k_blocks)
+    vocab = ee_table.shape[0]
+    final = w_next is None
+    extras = (root, alpha, beta) if final else (root, alpha, beta, w_next, b_next)
+
+    def kernel(attr_ref, uloc_ref, vloc_ref, tab_ref, h_ref, *rest):
+        out_ref, acc_ref = rest[-2], rest[-1]
+        if final:
+            root_ref, alpha_ref, beta_ref = rest[:3]
+        else:
+            root_ref, alpha_ref, beta_ref, wnext_ref, bnext_ref = rest[:5]
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+        vlanes = jax.lax.broadcasted_iota(jnp.int32, (block, vocab), 1)
+        multihot = (
+            (attr_ref[:, 0][:, None] == vlanes).astype(h_ref.dtype)
+            + (attr_ref[:, 1][:, None] == vlanes).astype(h_ref.dtype)
+            + (attr_ref[:, 2][:, None] == vlanes).astype(h_ref.dtype)
+        )
+        ee = jnp.dot(multihot, tab_ref[:], preferred_element_type=jnp.float32)
+        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        hu_all = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
+        h_u, dis_u = hu_all[:, :d], hu_all[:, d:]
+        msg = (dis_u * jnp.maximum(h_u + ee, 0)).astype(h_ref.dtype)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot_v, msg,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == k_blocks - 1)
+        def _():
+            h_win = h_ref[:, :d].astype(jnp.float32)
+            dis_win = h_ref[:, d:].astype(jnp.float32)
+            m = acc_ref[:] * dis_win
+            a = m + jnp.maximum(
+                h_win + root_ref[:].astype(jnp.float32), 0.0
+            ) * (dis_win * dis_win)
+            x = alpha_ref[:].astype(jnp.float32) * a + beta_ref[:].astype(
+                jnp.float32
+            )
+            if final:
+                out_ref[:] = x.astype(out_ref.dtype)
+            else:
+                a2 = jnp.maximum(x, 0.0).astype(h_ref.dtype)
+                out_ref[:] = (
+                    jnp.dot(
+                        a2, wnext_ref[:], preferred_element_type=jnp.float32
+                    )
+                    + bnext_ref[:].astype(jnp.float32)
+                ).astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows, k_blocks),
+        compiler_params=_ELL_PARAMS,
+        in_specs=[
+            pl.BlockSpec((block, 3), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((window, d + 1), lambda w, k: (w, 0)),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in extras],
+        ],
+        out_specs=pl.BlockSpec((window, d), lambda w, k: (w, 0)),
+        scratch_shapes=[pltpu.VMEM((window, d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * p * window * d
+            + (0 if final else 2 * num_windows * window * d * d),
+            bytes_accessed=(p + 3 * num_windows * window) * d * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(edge_attr, u_local[:, None], v_local[:, None], ee_table, hcat, *extras)
+    return out[:n]
+
+
 def dgn_local_message_ell(
     u_local: jnp.ndarray,
     v_local: jnp.ndarray,
@@ -733,6 +850,102 @@ def gat_local_message_ell(
     return out[:n]
 
 
+def dgn_local_layer_ell(
+    u_local: jnp.ndarray,
+    v_local: jnp.ndarray,
+    h: jnp.ndarray,  # [n, D]
+    eig: jnp.ndarray,  # [n] eigenvector component 1
+    inv_deg: jnp.ndarray,  # [n] 1/max(out_degree, 1)
+    eigw_sum: jnp.ndarray,  # [n] Σ_in (eig_u − eig_v)
+    inv_abssum: jnp.ndarray,  # [n] 1/eig_abssum (eps-guarded)
+    w_post: jnp.ndarray,  # [2·D, D] posttrans, transposed for x @ W
+    b_post: jnp.ndarray,  # [1, D]
+    window: int,
+    k_blocks: int,
+) -> jnp.ndarray:
+    """One whole DGN layer in a single VMEM pass (no-spill fast path).
+
+    Message phase = dgn_local_message_ell's factored two-channel gather;
+    the epilogue then fuses the apply unit (DGN/src/node_embedding.cc:
+    107-160): a1 = m1/deg, a2 = |m2 − eigw_sum·h|/eig_abssum, the
+    [2D → D] posttrans matmul and the residual h + relu(acc) — the
+    [n, 2·D] message channels never exist in HBM. Returns next-h [n, D].
+    """
+    n, d = h.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
+    aux = jnp.stack([eig, inv_deg, eigw_sum, inv_abssum], axis=1).astype(
+        hp.dtype
+    )
+    aux = jnp.pad(aux, ((0, pad), (0, 0))) if pad else aux
+    hcat = jnp.concatenate([hp, aux], axis=1)  # [NW·W, D+4]
+    p = u_local.shape[0]
+    block = p // (num_windows * k_blocks)
+
+    def kernel(uloc_ref, vloc_ref, h_ref, wpost_ref, b_ref, out_ref, acc_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        hu_all = jnp.dot(
+            onehot_u, h_ref[:, : d + 1], preferred_element_type=jnp.float32
+        )
+        h_u, eig_u = hu_all[:, :d], hu_all[:, d:]
+        both = jnp.concatenate([h_u, eig_u * h_u], axis=1).astype(h_ref.dtype)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot_v, both,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == k_blocks - 1)
+        def _():
+            h_win = h_ref[:, :d].astype(jnp.float32)
+            eig_win = h_ref[:, d : d + 1].astype(jnp.float32)
+            invd = h_ref[:, d + 1 : d + 2].astype(jnp.float32)
+            ews = h_ref[:, d + 2 : d + 3].astype(jnp.float32)
+            inva = h_ref[:, d + 3 : d + 4].astype(jnp.float32)
+            m1 = acc_ref[:, :d]
+            m2 = acc_ref[:, d:] - eig_win * m1
+            a1 = m1 * invd
+            a2 = jnp.abs(m2 - ews * h_win) * inva
+            a = jnp.concatenate([a1, a2], axis=1).astype(h_ref.dtype)
+            acc = jnp.dot(
+                a, wpost_ref[:], preferred_element_type=jnp.float32
+            ) + b_ref[:].astype(jnp.float32)
+            out_ref[:] = (h_win + jnp.maximum(acc, 0.0)).astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows, k_blocks),
+        compiler_params=_ELL_PARAMS,
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((window, d + 4), lambda w, k: (w, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((window, d), lambda w, k: (w, 0)),
+        scratch_shapes=[pltpu.VMEM((window, 2 * d), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * p * window * d
+            + 4 * num_windows * window * d * d,
+            bytes_accessed=(p + 3 * num_windows * window) * d * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(u_local[:, None], v_local[:, None], hcat, w_post, b_post)
+    return out[:n]
+
+
 def pna_local_stats_ell(
     u_slot: jnp.ndarray,  # [NW·S·W] dest-major slot sources (sentinel=window)
     h: jnp.ndarray,  # [n, D]
@@ -800,6 +1013,97 @@ def pna_local_stats_ell(
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
     )(u_slot[:, None], hp)
+    return out[:n]
+
+
+def pna_local_layer(
+    u_slot: jnp.ndarray,  # [NW·S·W] dest-major slot sources (sentinel=window)
+    h: jnp.ndarray,  # [n, D]
+    inv_deg: jnp.ndarray,  # [n] 1/max(in_degree, 1)
+    t: jnp.ndarray,  # [n] log(out_deg+1)/avg_deg scaler
+    scale: jnp.ndarray,  # [n] avg_deg/log(out_deg+1) scaler
+    w_cat: jnp.ndarray,  # [4·D, 3·D] = [w_noneᵀ ‖ w_tᵀ ‖ w_scaleᵀ]
+    b: jnp.ndarray,  # [1, D]
+    window: int,
+    slots: int,
+    min_init: float,
+    max_init: float,
+) -> jnp.ndarray:
+    """One whole PNA layer in a single VMEM pass (no-spill fast path).
+
+    Message phase = the slot-batched four-aggregate gather (see
+    pna_local_stats_ell); the epilogue then fuses everything the reference's
+    apply unit does (PNA/src/node_embedding.cc:123-214): degree-normalised
+    mean/std, the 12-block tower as ONE [4D, 3D] matmul with the three
+    scalers applied to its thirds (the scalers distribute over the linear
+    tower), and the residual h + relu(acc) — so the [n, 4·D] stats tensor
+    and the [n, 3·D] tower output never exist in HBM. Returns next-h [n, D].
+    """
+    n, d = h.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
+    aux = jnp.stack([inv_deg, t, scale], axis=1).astype(hp.dtype)  # [n, 3]
+    aux = jnp.pad(aux, ((0, pad), (0, 0))) if pad else aux
+    hcat = jnp.concatenate([hp, aux], axis=1)  # [NW·W, D+3]
+    sw = slots * window
+
+    def kernel(uslot_ref, h_ref, wcat_ref, b_ref, out_ref):
+        uslot = uslot_ref[:, 0]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1)
+        onehot = (uslot[:, None] == lanes).astype(h_ref.dtype)
+        h_all = jnp.dot(
+            onehot, h_ref[:, :d], preferred_element_type=jnp.float32
+        )
+        valid_all = (uslot < window)[:, None].astype(jnp.float32)
+        acc_s = jnp.zeros((window, d), jnp.float32)
+        acc_q = jnp.zeros((window, d), jnp.float32)
+        acc_mn = jnp.full((window, d), min_init, jnp.float32)
+        acc_mx = jnp.full((window, d), max_init, jnp.float32)
+        for s in range(slots):
+            h_u = h_all[s * window : (s + 1) * window]
+            valid = valid_all[s * window : (s + 1) * window]
+            acc_s += h_u * valid
+            acc_q += h_u * h_u * valid
+            acc_mn = jnp.minimum(acc_mn, jnp.where(valid > 0, h_u, min_init))
+            acc_mx = jnp.maximum(acc_mx, jnp.where(valid > 0, h_u, max_init))
+        invd = h_ref[:, d : d + 1].astype(jnp.float32)
+        t_w = h_ref[:, d + 1 : d + 2].astype(jnp.float32)
+        sc_w = h_ref[:, d + 2 : d + 3].astype(jnp.float32)
+        mean = acc_s * invd
+        std = jnp.sqrt(jnp.maximum(acc_q * invd - mean * mean, 0.0))
+        stats = jnp.concatenate(
+            [mean, acc_mn, acc_mx, std], axis=1
+        ).astype(h_ref.dtype)
+        y = jnp.dot(stats, wcat_ref[:], preferred_element_type=jnp.float32)
+        acc = (
+            y[:, :d] + t_w * y[:, d : 2 * d] + sc_w * y[:, 2 * d :]
+            + b_ref[:].astype(jnp.float32)
+        )
+        h_win = h_ref[:, :d].astype(jnp.float32)
+        out_ref[:] = (h_win + jnp.maximum(acc, 0.0)).astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((sw, 1), lambda w: (w, 0)),
+            pl.BlockSpec((window, d + 3), lambda w: (w, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_windows * (sw * window * d + window * 4 * d * 3 * d),
+            bytes_accessed=(num_windows * sw + 2 * num_windows * window) * d * 4,
+            transcendentals=num_windows * window * d,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(u_slot[:, None], hcat, w_cat, b)
     return out[:n]
 
 

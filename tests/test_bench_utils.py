@@ -94,3 +94,46 @@ def test_scaling_bench_edge_axis_cpu():
     assert [r["devices"] for r in halo] == [1, 2]
     assert halo[1]["ici_bytes_per_layer"] < psum[0]["ici_bytes_per_layer"]
     assert all(r["edges_per_s"] > 0 for r in halo + psum)
+
+
+def test_tune_block_candidates():
+    """The tuner's derived block sizes must hold the densest window in one
+    block (k = 1) and stay 128-aligned."""
+    from flowgnn_tpu.bench.tune import _window_densities, block_candidates
+    from flowgnn_tpu.core.graphs import pack_dataset
+    from flowgnn_tpu.core.synthetic import synthetic_molhiv
+
+    graphs = synthetic_molhiv(64, seed=1)
+    bucket = next(iter(pack_dataset(
+        graphs, node_capacity=4096, edge_capacity=16384,
+        graph_capacity=256, align_window=128,
+    )))
+    dens = _window_densities(bucket, 128)
+    cands = block_candidates(bucket, 128)
+    assert all(b % 128 == 0 for b in cands)
+    assert all(b >= dens.max() for b in cands)
+    assert cands[0] <= dens.max() + 127  # minimal, not padded beyond a tile
+    assert cands[1] == cands[0] + 128
+
+
+def test_protocol_time_stream_cpu():
+    """The shared timing protocol must run a real forward (values flow
+    through the carry chain) and return positive times."""
+    from flowgnn_tpu.bench.protocol import dispatch_floor, time_stream
+    from flowgnn_tpu.core.numerics import FLOAT32
+    from flowgnn_tpu.core.synthetic import synthetic_molhiv
+    from flowgnn_tpu.core.graphs import pack_graphs
+    from flowgnn_tpu.models import registry
+    from flowgnn_tpu.models.base import as_batch, prepare_params
+    import os
+
+    spec = registry.get("gin")
+    model_dir = os.path.join("/root/reference", spec.reference_dir)
+    if not os.path.isdir(model_dir):
+        pytest.skip("reference weights not mounted")
+    params = prepare_params(spec.loader(model_dir), FLOAT32)
+    packed = pack_graphs(synthetic_molhiv(8, seed=2), 512, 2048, 16)
+    batches = [as_batch(packed)]
+    best, avg = time_stream(spec, params, batches, FLOAT32, reps=2, trials=2)
+    assert 0 < best <= avg
+    assert dispatch_floor(FLOAT32) > 0
