@@ -41,7 +41,7 @@ PALLAS_ELL_BLOCK = 1536
 # FLOPs (∝ window) until per-step grid overhead takes over.
 ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
     "gin": (256, 768),
-    "gin-vn": (512, 2048),
+    "gin-vn": (256, 1152),  # cli tune sweep r2: 4.80 vs 4.88 @ (512, 2048)
     "gcn": (256, 1024),
     "gat": (256, 1024),
     "dgn": (256, 1024),

@@ -39,6 +39,9 @@ LEAKY_SLOPE = 0.2
 import os as _os
 
 FUSE_LAYERS = _os.environ.get("FLOWGNN_GAT_FUSE", "0") == "1"
+# Precompute per-lane attention logits with XLA takes instead of the
+# in-kernel one-hot score gather (see gat_local_message_ell's raw param).
+RAW_SCORES = _os.environ.get("FLOWGNN_GAT_RAWSCORES", "0") == "1"
 
 
 def _project(w_l: jnp.ndarray, x: jnp.ndarray, prec: Precision) -> jnp.ndarray:
@@ -163,10 +166,22 @@ def forward(
                 s_tgt = prec.q(fused_out[:, 2 * H * D + H :])
                 inter.append(h)
                 continue
+            raw_lanes = None
+            if RAW_SCORES:
+                if halo:
+                    s_tgt_u = (
+                        s_tgt_src if has_spill
+                        else halo_exchange(s_tgt, batch, edge_axis)
+                    )
+                else:
+                    s_tgt_u = s_tgt
+                raw_lanes = jnp.take(s_src, v[:P], axis=0) + jnp.take(
+                    s_tgt_u, u[:P], axis=0
+                )
             both = gat_local_message_ell(
                 batch["loc_ulocal"], batch["loc_vlocal"],
                 h.reshape(n, H * D), s_src, s_tgt,
-                window, k_blocks, H,
+                window, k_blocks, H, raw=raw_lanes,
             )
             if sp_both is not None:
                 both = both + sp_both

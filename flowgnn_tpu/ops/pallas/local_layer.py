@@ -768,6 +768,7 @@ def gat_local_message_ell(
     window: int,
     k_blocks: int,
     num_heads: int,
+    raw: jnp.ndarray | None = None,  # [P, H] precomputed s_src[v]+s_tgt[u]
 ) -> jnp.ndarray:
     """GAT edge-softmax numerator+denominator against window-local state.
 
@@ -777,8 +778,11 @@ def gat_local_message_ell(
     one-hot matmuls, and s_tgt rides the feature gather as trailing columns
     ([W, H·D + H] = 68 lanes at the reference config shares h's 128-lane
     tile) — one gather matmul fewer per block; the [E, H·D] scored tensor
-    never exists in HBM. Returns [n, H·D + H] (caller divides by the
-    trailing score sums).
+    never exists in HBM. With ``raw`` (per-lane logits precomputed by XLA
+    takes — FLOWGNN_GAT_RAWSCORES=1), BOTH score gathers leave the kernel:
+    trades the [B, W]×[W, 128-padded] s_src matmul per block for a [P, H]
+    lane input. Returns [n, H·D + H] (caller divides by the trailing score
+    sums).
     """
     n, hd = h.shape
     d = hd // num_heads
@@ -788,12 +792,21 @@ def gat_local_message_ell(
         h = jnp.pad(h, ((0, pad), (0, 0)))
         s_src = jnp.pad(s_src, ((0, pad), (0, 0)))
         s_tgt = jnp.pad(s_tgt, ((0, pad), (0, 0)))
-    hcat = jnp.concatenate([h, s_tgt.astype(h.dtype)], axis=1)  # [NW·W, H·D+H]
+    use_raw = raw is not None
+    if use_raw:
+        hcat = h
+    else:
+        hcat = jnp.concatenate([h, s_tgt.astype(h.dtype)], axis=1)
     p = u_local.shape[0]
     block = p // (num_windows * k_blocks)
     out_dim = hd + num_heads
 
-    def kernel(uloc_ref, vloc_ref, h_ref, ssrc_ref, out_ref, acc_ref):
+    def kernel(*refs):
+        if use_raw:
+            uloc_ref, vloc_ref, raw_ref, h_ref = refs[:4]
+        else:
+            uloc_ref, vloc_ref, h_ref, ssrc_ref = refs[:4]
+        out_ref, acc_ref = refs[-2], refs[-1]
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -804,10 +817,16 @@ def gat_local_message_ell(
         onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
         onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
         hu_all = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
-        h_u, s2 = hu_all[:, :hd], hu_all[:, hd:]
-        s1 = jnp.dot(onehot_v, ssrc_ref[:], preferred_element_type=jnp.float32)
-        raw = s1 + s2
-        score = jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+        if use_raw:
+            h_u = hu_all
+            raw_k = raw_ref[:].astype(jnp.float32)
+        else:
+            h_u, s2 = hu_all[:, :hd], hu_all[:, hd:]
+            s1 = jnp.dot(
+                onehot_v, ssrc_ref[:], preferred_element_type=jnp.float32
+            )
+            raw_k = s1 + s2
+        score = jnp.exp(jnp.where(raw_k < 0, raw_k * 0.2, raw_k))
         # Sentinel lanes have all-zero one-hots → raw = 0 → score = 1; mask
         # them out so they don't pollute the denominators.
         valid = (vloc_ref[:, 0] < window)[:, None].astype(jnp.float32)
@@ -832,21 +851,33 @@ def gat_local_message_ell(
         def _():
             out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
+    lane = lambda w, k: (w * k_blocks + k, 0)  # noqa: E731
+    if use_raw:
+        in_specs = [
+            pl.BlockSpec((block, 1), lane),
+            pl.BlockSpec((block, 1), lane),
+            pl.BlockSpec((block, num_heads), lane),
+            pl.BlockSpec((window, hd), lambda w, k: (w, 0)),
+        ]
+        ins = (u_local[:, None], v_local[:, None], raw, hcat)
+    else:
+        in_specs = [
+            pl.BlockSpec((block, 1), lane),
+            pl.BlockSpec((block, 1), lane),
+            pl.BlockSpec((window, hd + num_heads), lambda w, k: (w, 0)),
+            pl.BlockSpec((window, num_heads), lambda w, k: (w, 0)),
+        ]
+        ins = (u_local[:, None], v_local[:, None], hcat, s_src)
     out = pl.pallas_call(
         kernel,
         grid=(num_windows, k_blocks),
         compiler_params=_ELL_PARAMS,
-        in_specs=[
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((window, hd + num_heads), lambda w, k: (w, 0)),
-            pl.BlockSpec((window, num_heads), lambda w, k: (w, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((window, out_dim), lambda w, k: (w, 0)),
         scratch_shapes=[pltpu.VMEM((window, out_dim), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((num_windows * window, out_dim), h.dtype),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(u_local[:, None], v_local[:, None], hcat, s_src)
+    )(*ins)
     return out[:n]
 
 
