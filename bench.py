@@ -125,7 +125,7 @@ def main() -> None:
         )
         blocked = {
             "plain": False, "blocked": True,
-            "local": "local_slots" if name == "pna" else "local_ell",
+            "local": "local_slots" if name in ("pna", "gat", "dgn") else "local_ell",
         }[layout]
         batches = [
             as_batch(b, blocked=blocked, window=ell_w, block=ell_b)

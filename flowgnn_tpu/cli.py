@@ -74,7 +74,7 @@ def run_case(
     blocked = {
         "plain": False,
         "blocked": True,
-        "local": "local_slots" if name == "pna" else "local_ell",
+        "local": "local_slots" if name in ("pna", "gat", "dgn") else "local_ell",
     }[layout]
     from .models.base import ELL_GEOMETRY_DEFAULTS
 

@@ -67,14 +67,53 @@ def forward(
     local = "loc_ell" in batch and prec.fixed is None and (
         edge_axis is None or halo
     )
+    # Dest-major slot layout (single-chip default): no scatter matmul —
+    # see ops/pallas/local_layer.py:dgn_local_layer_slots.
+    slots_mode = (
+        "slot_uslot" in batch and prec.fixed is None and edge_axis is None
+    )
     if local:
         P = batch["loc_ulocal"].shape[0]
         window, k_blocks = _base.ell_geometry(batch)
         has_spill = u.shape[0] > P
+    if slots_mode:
+        window, n_slots = (int(x) for x in batch["slot_geom"].shape[-2:])
+        sp = batch["slot_spill"]
+        has_spill = sp.shape[-1] > 0
+        if has_spill:
+            sp_mask = batch["slot_spill_mask"]
+            sp_u = jnp.where(sp_mask, u[sp], n - 1)
+            sp_v = jnp.where(sp_mask, v[sp], n - 1)
+            eig_w_sp = prec.q(jnp.take(eig, sp_u) - jnp.take(eig, sp_v))
 
     h = _atom_embed_dgn(params["atom_tables"], batch["node_feat"], prec)
     inter = [h]
     for l in range(L):
+        if slots_mode:
+            from ..ops.pallas.local_layer import dgn_local_layer_slots
+
+            w_post = params["posttrans_w"][l].reshape(
+                params["posttrans_w"].shape[1], -1
+            ).T
+            m_sp = None
+            if has_spill:
+                x_sp = jnp.take(h, sp_u, axis=0)
+                m_sp = segment_sum(
+                    jnp.concatenate(
+                        [x_sp, eig_w_sp[:, None] * x_sp], axis=1
+                    ),
+                    sp_v, n,
+                )
+            h = prec.q(
+                dgn_local_layer_slots(
+                    batch["slot_uslot"], h, eig,
+                    (1.0 / deg)[:, 0], eigw_sum, 1.0 / eig_abssum,
+                    w_post, params["posttrans_b"][l][None, :],
+                    window, n_slots, m_spill=m_sp,
+                )
+            )
+            inter.append(h)
+            continue
         if local and not has_spill:
             # No-spill fast path: the whole layer (two-channel gather,
             # mean + directional-derivative normalisation, posttrans,

@@ -90,14 +90,72 @@ def forward(
     local = "loc_ell" in batch and prec.fixed is None and (
         edge_axis is None or halo
     )
+    # Dest-major slot layout (single-chip default): no scatter matmul, no
+    # score gather, softmax normalised in-kernel (gat_local_message_slots).
+    slots_mode = (
+        "slot_uslot" in batch and prec.fixed is None and edge_axis is None
+    )
     if local:
         P = batch["loc_ulocal"].shape[0]
         window, k_blocks = _base.ell_geometry(batch)
         has_spill = u.shape[0] > P
+    if slots_mode:
+        window, n_slots = (int(x) for x in batch["slot_geom"].shape[-2:])
+        sp = batch["slot_spill"]
+        has_spill = sp.shape[-1] > 0
+        if has_spill:
+            sp_mask = batch["slot_spill_mask"]
+            sp_u = jnp.where(sp_mask, u[sp], n - 1)
+            sp_v = jnp.where(sp_mask, v[sp], n - 1)
 
     inter = [h]
     out_feat = None
     for l in range(L):
+        if slots_mode:
+            from ..ops.pallas.local_layer import gat_local_message_slots
+
+            if has_spill:
+                raw_sp = jnp.take(s_src, sp_v, axis=0) + jnp.take(
+                    s_tgt, sp_u, axis=0
+                )
+                sc_sp = jnp.exp(
+                    jnp.where(raw_sp < 0, raw_sp * LEAKY_SLOPE, raw_sp)
+                ) * (sp_v < n - 1)[:, None].astype(prec.compute_dtype)
+                h_sp = jnp.take(h.reshape(n, H * D), sp_u, axis=0)
+                sp_both = segment_sum(
+                    jnp.concatenate(
+                        [jnp.repeat(sc_sp, D, axis=1) * h_sp, sc_sp], axis=1
+                    ),
+                    sp_v, n,
+                )
+                both = gat_local_message_slots(
+                    batch["slot_uslot"], h.reshape(n, H * D), s_src, s_tgt,
+                    window, n_slots, H, divide=False,
+                ) + sp_both
+                msg = prec.q(both[:, : H * D]).reshape(n, H, D)
+                denom = both[:, H * D :]
+                msg = prec.q(
+                    msg / jnp.where(denom == 0, 1, denom)[:, :, None]
+                )
+            else:
+                msg = prec.q(
+                    gat_local_message_slots(
+                        batch["slot_uslot"], h.reshape(n, H * D),
+                        s_src, s_tgt, window, n_slots, H, divide=True,
+                    )
+                ).reshape(n, H, D)
+            skip = _project(params["skip_w"][l], prev, prec)
+            if l != L - 1:
+                feat = msg + skip
+                feat = prec.q(jnp.where(feat <= 0, jnp.exp(feat) - 1, feat))
+                prev = feat
+                h = _project(params["proj_w"][l + 1], feat, prec)
+                s_src = _scores(h, params["a_src"][l + 1], prec)
+                s_tgt = _scores(h, params["a_tgt"][l + 1], prec)
+                inter.append(h)
+            else:
+                out_feat = prec.q((msg + skip).sum(axis=1) / H)
+            continue
         if local:
             from ..ops.pallas.local_layer import gat_local_message_ell
 

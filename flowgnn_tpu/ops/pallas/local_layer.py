@@ -1138,6 +1138,194 @@ def pna_local_layer(
     return out[:n]
 
 
+def gat_local_message_slots(
+    u_slot: jnp.ndarray,  # [NW·S·W] dest-major slot sources (sentinel=window)
+    h: jnp.ndarray,  # [n, H·D] projected features, head-major flat
+    s_src: jnp.ndarray,  # [n, H]
+    s_tgt: jnp.ndarray,  # [n, H]
+    window: int,
+    slots: int,
+    num_heads: int,
+    divide: bool = True,
+) -> jnp.ndarray:
+    """GAT edge softmax over the dest-major slot layout — NO scatter matmul.
+
+    One stacked [S·W, W] one-hot matmul gathers every dest row's in-edge
+    sources ([h ‖ s_tgt] share the tile); s_src needs no gather at all (it
+    is indexed by the dest — the window rows themselves); scores, the
+    numerator and the denominator then reduce DENSELY over the slot axis
+    (GAT/src/message_passing.cc:122-148 math, raw exp). With ``divide``
+    the softmax normalisation happens in-kernel (the denominator is
+    complete per window) → returns [n, H·D]; otherwise returns
+    [n, H·D + H] raw sums for the caller to merge with spill terms.
+    """
+    n, hd = h.shape
+    d = hd // num_heads
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        s_src = jnp.pad(s_src, ((0, pad), (0, 0)))
+        s_tgt = jnp.pad(s_tgt, ((0, pad), (0, 0)))
+    hcat = jnp.concatenate([h, s_tgt.astype(h.dtype)], axis=1)  # [NW·W, HD+H]
+    sw = slots * window
+    out_dim = hd if divide else hd + num_heads
+
+    def kernel(uslot_ref, h_ref, ssrc_ref, out_ref):
+        uslot = uslot_ref[:, 0]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1)
+        onehot = (uslot[:, None] == lanes).astype(h_ref.dtype)
+        hu_all = jnp.dot(onehot, h_ref[:], preferred_element_type=jnp.float32)
+        valid_all = (uslot < window)[:, None].astype(jnp.float32)
+        s1 = ssrc_ref[:].astype(jnp.float32)  # [W, H] — dest rows, no gather
+        cols = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 1) // d
+        rows = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 0)
+        expand = (cols == rows).astype(jnp.float32)
+        num = jnp.zeros((window, hd), jnp.float32)
+        den = jnp.zeros((window, num_heads), jnp.float32)
+        for s in range(slots):
+            sl = slice(s * window, (s + 1) * window)
+            h_u = hu_all[sl, :hd]
+            s2 = hu_all[sl, hd:]
+            valid = valid_all[sl]
+            raw = s1 + s2
+            score = jnp.exp(jnp.where(raw < 0, raw * 0.2, raw)) * valid
+            num += jnp.dot(
+                score, expand, preferred_element_type=jnp.float32
+            ) * h_u
+            den += score
+        if divide:
+            den = jnp.where(den == 0, 1.0, den)
+            denx = jnp.dot(den, expand, preferred_element_type=jnp.float32)
+            out_ref[:] = (num / denx).astype(out_ref.dtype)
+        else:
+            out_ref[:] = jnp.concatenate([num, den], axis=1).astype(
+                out_ref.dtype
+            )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((sw, 1), lambda w: (w, 0)),
+            pl.BlockSpec((window, hd + num_heads), lambda w: (w, 0)),
+            pl.BlockSpec((window, num_heads), lambda w: (w, 0)),
+        ],
+        out_specs=pl.BlockSpec((window, out_dim), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, out_dim), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_windows * sw * window * hd,
+            bytes_accessed=(num_windows * sw + 3 * num_windows * window)
+            * hd * 4,
+            transcendentals=num_windows * sw * num_heads,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(u_slot[:, None], hcat, s_src)
+    return out[:n]
+
+
+def dgn_local_layer_slots(
+    u_slot: jnp.ndarray,  # [NW·S·W]
+    h: jnp.ndarray,  # [n, D]
+    eig: jnp.ndarray,  # [n]
+    inv_deg: jnp.ndarray,  # [n] 1/max(out_degree, 1)
+    eigw_sum: jnp.ndarray,  # [n]
+    inv_abssum: jnp.ndarray,  # [n] 1/eig_abssum (eps-guarded)
+    w_post: jnp.ndarray,  # [2·D, D]
+    b_post: jnp.ndarray,  # [1, D]
+    window: int,
+    slots: int,
+    m_spill: jnp.ndarray | None = None,  # [n, 2·D] pre-reduced crossing msgs
+) -> jnp.ndarray:
+    """One whole DGN layer over the dest-major slot layout — no scatter
+    matmul: one stacked [S·W, W] gather of [h ‖ eig], dense slot-axis
+    channel sums (m2 factored as Σ eig_u·h_u − eig_v·m1), then the same
+    fused epilogue as dgn_local_layer_ell. ``m_spill`` carries the
+    pre-reduced window-crossing/overflow contributions (its m2 half is
+    already fully weighted, so it adds AFTER the local factoring).
+    Returns next-h [n, D]."""
+    n, d = h.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
+    aux = jnp.stack([eig, inv_deg, eigw_sum, inv_abssum], axis=1).astype(
+        hp.dtype
+    )
+    aux = jnp.pad(aux, ((0, pad), (0, 0))) if pad else aux
+    hcat = jnp.concatenate([hp, aux], axis=1)  # [NW·W, D+4]
+    sw = slots * window
+    has_spill = m_spill is not None
+    if has_spill and pad:
+        m_spill = jnp.pad(m_spill, ((0, pad), (0, 0)))
+
+    def kernel(uslot_ref, h_ref, *rest):
+        wpost_ref, b_ref = rest[-3], rest[-2]
+        out_ref = rest[-1]
+        uslot = uslot_ref[:, 0]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1)
+        onehot = (uslot[:, None] == lanes).astype(h_ref.dtype)
+        hu_all = jnp.dot(
+            onehot, h_ref[:, : d + 1], preferred_element_type=jnp.float32
+        )
+        valid_all = (uslot < window)[:, None].astype(jnp.float32)
+        m1 = jnp.zeros((window, d), jnp.float32)
+        m2a = jnp.zeros((window, d), jnp.float32)
+        for s in range(slots):
+            sl = slice(s * window, (s + 1) * window)
+            h_u = hu_all[sl, :d] * valid_all[sl]
+            m1 += h_u
+            m2a += hu_all[sl, d:] * h_u
+        h_win = h_ref[:, :d].astype(jnp.float32)
+        eig_win = h_ref[:, d : d + 1].astype(jnp.float32)
+        invd = h_ref[:, d + 1 : d + 2].astype(jnp.float32)
+        ews = h_ref[:, d + 2 : d + 3].astype(jnp.float32)
+        inva = h_ref[:, d + 3 : d + 4].astype(jnp.float32)
+        m2 = m2a - eig_win * m1
+        if has_spill:
+            spill = rest[0][:].astype(jnp.float32)
+            m1 = m1 + spill[:, :d]
+            m2 = m2 + spill[:, d:]
+        a1 = m1 * invd
+        a2 = jnp.abs(m2 - ews * h_win) * inva
+        a = jnp.concatenate([a1, a2], axis=1).astype(h_ref.dtype)
+        acc = jnp.dot(
+            a, wpost_ref[:], preferred_element_type=jnp.float32
+        ) + b_ref[:].astype(jnp.float32)
+        out_ref[:] = (h_win + jnp.maximum(acc, 0.0)).astype(out_ref.dtype)
+
+    spill_specs = (
+        [pl.BlockSpec((window, 2 * d), lambda w: (w, 0))] if has_spill else []
+    )
+    spill_ins = (m_spill,) if has_spill else ()
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((sw, 1), lambda w: (w, 0)),
+            pl.BlockSpec((window, d + 4), lambda w: (w, 0)),
+            *spill_specs,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_windows * (sw * window * d + window * 2 * d * d),
+            bytes_accessed=(num_windows * sw + 2 * num_windows * window)
+            * d * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(u_slot[:, None], hcat, *spill_ins, w_post, b_post)
+    return out[:n]
+
+
 def gat_local_layer_ell(
     u_local: jnp.ndarray,
     v_local: jnp.ndarray,

@@ -270,3 +270,65 @@ def test_pna_local_slots_overflow(reference_root):
     )
     assert_allclose(np.asarray(slotted)[:1], np.asarray(plain)[:1],
                     rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["gat", "dgn"])
+def test_gat_dgn_local_slots_equals_plain(name, graphs16, reference_root):
+    spec = registry.get(name)
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:4])
+    small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
+    plain = spec.forward(
+        jp, as_batch(pack_graphs(tg, with_eigen=spec.needs_eigen, **small)),
+        FLOAT32,
+    )
+    sbatch = as_batch(
+        pack_graphs_aligned(tg, window=256, with_eigen=spec.needs_eigen,
+                            **small),
+        blocked="local_slots", window=256,
+    )
+    slotted = spec.forward(jp, sbatch, FLOAT32)
+    assert_allclose(np.asarray(slotted)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5, msg=name)
+    # Dead-wiring guard: corrupting the slot table must change the output.
+    corrupt = dict(sbatch)
+    corrupt["slot_uslot"] = np.where(
+        sbatch["slot_uslot"] < 256, 0, sbatch["slot_uslot"]
+    ).astype(np.int32)
+    broken = spec.forward(jp, corrupt, FLOAT32)
+    assert not np.allclose(np.asarray(broken)[:4], np.asarray(plain)[:4],
+                           rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["gat", "dgn"])
+def test_gat_dgn_local_slots_overflow(name, reference_root):
+    """In-degree above the slot budget must spill, not corrupt."""
+    from flowgnn_tpu.core.graphs import Graph
+
+    n = 24
+    ei = np.array([(i, 0) for i in range(1, 21)] + [(0, i) for i in range(1, 21)],
+                  np.int32)
+    eig = np.linspace(-1, 1, n * 4, dtype=np.float32).reshape(n, 4)
+    g = Graph(np.zeros((n, 9), np.int32), ei, None,
+              node_eigen=eig if name == "dgn" else None)
+    spec = registry.get(name)
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, [g])
+    small = dict(node_capacity=512, edge_capacity=256, graph_capacity=4)
+    plain = spec.forward(
+        jp, as_batch(pack_graphs(tg, with_eigen=spec.needs_eigen, **small)),
+        FLOAT32,
+    )
+    slotted = spec.forward(
+        jp,
+        as_batch(
+            pack_graphs_aligned(tg, window=256, with_eigen=spec.needs_eigen,
+                                **small),
+            blocked="local_slots", window=256,
+        ),
+        FLOAT32,
+    )
+    assert_allclose(np.asarray(slotted)[:1], np.asarray(plain)[:1],
+                    rtol=1e-5, atol=1e-5, msg=name)
