@@ -49,7 +49,11 @@ def main() -> None:
                          "scatter, or the graph-local fused kernels "
                          "(default for all six models)")
     ap.add_argument("--node-cap", type=int, default=32768)
-    ap.add_argument("--edge-cap", type=int, default=98304)
+    ap.add_argument("--edge-cap", type=int, default=None,
+                    help="bucket edge capacity (default: auto from the "
+                         "stream's edge/node density so buckets fill the "
+                         "node axis — a too-small cap silently halves "
+                         "bucket occupancy and doubles per-graph time)")
     ap.add_argument("--graph-cap", type=int, default=2048)
     args = ap.parse_args()
     if args.ell_wps:
@@ -113,11 +117,22 @@ def main() -> None:
         gw, gb = ELL_GEOMETRY_DEFAULTS.get(name, (None, None))
         ell_w = args.ell_window or gw or 512
         ell_b = args.ell_block or gb or 1536
+        # Auto edge capacity: whole buckets of node_cap nodes must fit their
+        # edges, or the packer flushes early and every fixed-shape bucket
+        # runs half-empty (burned GIN-VN/GAT round-2: VN stars / self-loops
+        # push density past the old fixed 3·node_cap).
+        if args.edge_cap is None:
+            density = sum(g.num_edges for g in graphs) / max(
+                1, sum(g.num_nodes for g in graphs)
+            )
+            edge_cap = -(-int(args.node_cap * density * 1.15) // 1024) * 1024
+        else:
+            edge_cap = args.edge_cap
         buckets = list(
             pack_dataset(
                 graphs,
                 node_capacity=args.node_cap,
-                edge_capacity=args.edge_cap,
+                edge_capacity=edge_cap,
                 graph_capacity=args.graph_cap,
                 with_eigen=spec.needs_eigen,
                 align_window=ell_w if layout == "local" else None,

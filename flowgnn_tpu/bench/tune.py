@@ -66,7 +66,12 @@ def sweep(
         synthetic_dataset(dataset, seed=0, with_eigen=spec.needs_eigen,
                           num_graphs=num_graphs),
     )
-    layout = "local_slots" if model == "pna" else "local_ell"
+    # Same model → layout mapping as bench.py: slot models sweep the
+    # window only (the slot axis auto-sizes); ELL models sweep window ×
+    # derived block candidates.
+    layout = (
+        "local_slots" if model in ("pna", "gat", "dgn") else "local_ell"
+    )
 
     results = []
     for w in windows:
@@ -77,7 +82,10 @@ def sweep(
                 align_window=w,
             )
         )
-        blocks = [None] if model == "pna" else block_candidates(buckets[0], w)
+        blocks = (
+            [None] if layout == "local_slots"
+            else block_candidates(buckets[0], w)
+        )
         for b in blocks:
             batches = [
                 as_batch(bk, blocked=layout, window=w, block=b)
