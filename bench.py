@@ -117,17 +117,11 @@ def main() -> None:
         gw, gb = ELL_GEOMETRY_DEFAULTS.get(name, (None, None))
         ell_w = args.ell_window or gw or 512
         ell_b = args.ell_block or gb or 1536
-        # Auto edge capacity: whole buckets of node_cap nodes must fit their
-        # edges, or the packer flushes early and every fixed-shape bucket
-        # runs half-empty (burned GIN-VN/GAT round-2: VN stars / self-loops
-        # push density past the old fixed 3·node_cap).
-        if args.edge_cap is None:
-            density = sum(g.num_edges for g in graphs) / max(
-                1, sum(g.num_nodes for g in graphs)
-            )
-            edge_cap = -(-int(args.node_cap * density * 1.15) // 1024) * 1024
-        else:
-            edge_cap = args.edge_cap
+        # Auto edge capacity (see core/graphs.auto_edge_capacity: a fixed
+        # too-small cap silently halves bucket occupancy).
+        from flowgnn_tpu.core.graphs import auto_edge_capacity
+
+        edge_cap = args.edge_cap or auto_edge_capacity(graphs, args.node_cap)
         buckets = list(
             pack_dataset(
                 graphs,

@@ -73,11 +73,14 @@ def sweep(
         "local_slots" if model in ("pna", "gat", "dgn") else "local_ell"
     )
 
+    from ..core.graphs import auto_edge_capacity
+
     results = []
     for w in windows:
         buckets = list(
             pack_dataset(
-                graphs, node_capacity=32768, edge_capacity=98304,
+                graphs, node_capacity=32768,
+                edge_capacity=auto_edge_capacity(graphs, 32768),
                 graph_capacity=2048, with_eigen=spec.needs_eigen,
                 align_window=w,
             )

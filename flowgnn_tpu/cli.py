@@ -80,11 +80,13 @@ def run_case(
 
     ell_w, ell_b = ELL_GEOMETRY_DEFAULTS.get(name, (None, None))
     ell_w, ell_b = ell_w or 512, ell_b or 1536
+    from .core.graphs import auto_edge_capacity
+
     buckets = list(
         pack_dataset(
             graphs,
             node_capacity=caps[0],
-            edge_capacity=caps[1],
+            edge_capacity=max(caps[1], auto_edge_capacity(graphs, caps[0])),
             graph_capacity=caps[2],
             with_eigen=spec.needs_eigen,
             align_window=ell_w if layout == "local" else None,

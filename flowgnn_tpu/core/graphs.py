@@ -317,6 +317,17 @@ def pack_graphs_aligned(
     )
 
 
+def auto_edge_capacity(graphs: Sequence[Graph], node_capacity: int) -> int:
+    """Edge capacity sized so ``node_capacity``-node buckets fit their
+    edges (stream density × 1.15 headroom, 1024-aligned). A too-small
+    capacity makes the packer flush early and every FIXED-SHAPE bucket run
+    half-empty — the silent 2× per-graph regression that hit GIN-VN/GAT
+    (VN stars / self-loops exceed 3 edges per node)."""
+    total_n = sum(g.num_nodes for g in graphs)
+    density = sum(g.num_edges for g in graphs) / max(1, total_n)
+    return -(-int(node_capacity * density * 1.15) // 1024) * 1024
+
+
 def pack_dataset(
     graphs: Iterable[Graph],
     node_capacity: int,

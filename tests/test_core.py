@@ -179,3 +179,25 @@ def test_accuracy_cli_on_converted_dataset(tmp_path, reference_root):
     assert r["metric"] == "rocauc"
     assert 0.0 <= r["value"] <= 1.0 or np.isnan(r["value"])
     assert r["num_graphs"] == 8
+
+
+def test_auto_edge_capacity_fills_buckets():
+    """A dense stream (e.g. VN stars ~4 edges/node) must fit one
+    node-capacity bucket — the fixed 3x cap regression guard."""
+    from flowgnn_tpu.core.graphs import auto_edge_capacity, pack_dataset
+    from flowgnn_tpu.core.synthetic import synthetic_molhiv
+    from flowgnn_tpu.models import registry
+
+    spec = registry.get("gin-vn")
+    graphs = registry.apply_transforms(spec, synthetic_molhiv(128, seed=3))
+    node_cap = 4096
+    cap = auto_edge_capacity(graphs, node_cap)
+    assert cap % 1024 == 0
+    density = sum(g.num_edges for g in graphs) / sum(
+        g.num_nodes for g in graphs
+    )
+    assert cap >= node_cap * density  # headroom holds
+    buckets = list(pack_dataset(graphs, node_cap, cap, 1024))
+    # Every non-final bucket is node-bound (>=85% full), not edge-bound.
+    for b in buckets[:-1]:
+        assert int(b.n_node[:-1].sum()) >= 0.85 * node_cap
