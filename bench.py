@@ -174,6 +174,13 @@ def main() -> None:
                 batches, prec, reps=args.reps, trials=args.trials,
                 bf16=not args.f32,
             )
+        elif "slot_uslot" in batches[0]:
+            from flowgnn_tpu.bench.spmm_stage import measure_slot_stage
+
+            spmm = measure_slot_stage(
+                batches, prec, reps=args.reps, trials=args.trials,
+                bf16=not args.f32,
+            )
 
         results[name] = {
             "us_per_graph": us_per_graph,

@@ -85,6 +85,68 @@ def measure_spmm_stage(
     b_el = 2 if bf16 else 4
     # Kernel-as-written arithmetic: gather + scatter one-hot matmuls.
     onehot_flops = layers * 4.0 * lanes * w * dim
+    return _finish(onehot_flops, real_edges, lanes, rows, best, bf16,
+                   layers, dim, b_el)
+
+
+def measure_slot_stage(
+    batches: list[dict],
+    prec,
+    reps: int = 20,
+    trials: int = 3,
+    bf16: bool = True,
+    layers: int = 4,
+    dim: int = 100,
+) -> dict:
+    """Slot-layout analog of measure_spmm_stage: times the dest-major
+    four-aggregate gather kernel alone (pna_local_stats_ell) over the
+    batches' slot tables."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas.local_layer import pna_local_stats_ell
+
+    dt = prec.compute_dtype
+    datas = []
+    lanes = real_edges = rows = 0
+    w = s = None
+    for b in batches:
+        n = b["node_feat"].shape[0]
+        w, s = (int(x) for x in b["slot_geom"].shape[-2:])
+        us = b["slot_uslot"]
+        datas.append((jnp.asarray(us), n))
+        lanes += us.shape[0]
+        real_edges += int((np.asarray(us) < w).sum())
+        rows += -(-n // w) * w
+
+    def one_pass(c):
+        for us, n in datas:
+            h = jnp.zeros((n, dim), dt) + c
+            for _ in range(layers):
+                st = pna_local_stats_ell(us, h, w, s, 0.0, 0.0)
+                h = st[:, :dim]
+            c = c + h[0, 0] * 0
+        return c
+
+    trial = jax.jit(
+        lambda c: jax.lax.fori_loop(0, reps, lambda i, cc: one_pass(cc), c)
+    )
+    carry = jnp.zeros((), dt)
+    np.asarray(trial(carry))
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(trial(carry))
+        best = min(best, (time.perf_counter() - t0) / reps)
+
+    b_el = 2 if bf16 else 4
+    onehot_flops = layers * 2.0 * lanes * w * dim  # one stacked gather
+    return _finish(onehot_flops, real_edges, lanes, rows, best, bf16,
+                   layers, dim, b_el)
+
+
+def _finish(onehot_flops, real_edges, lanes, rows, best, bf16, layers, dim,
+            b_el):
     # Useful SpMM work: one multiply-add per edge per dim for gather-sum and
     # for scatter-sum, plus the stage's unavoidable HBM traffic.
     useful = Cost(
