@@ -151,7 +151,7 @@ def _finish(onehot_flops, real_edges, lanes, rows, best, bf16, layers, dim,
     # for scatter-sum, plus the stage's unavoidable HBM traffic.
     useful = Cost(
         layers * 4.0 * real_edges * dim,
-        layers * b_el * (lanes * dim * 0 + 3 * rows * dim + lanes * (dim + 8)),
+        layers * b_el * (3 * rows * dim + lanes * (dim + 8)),
     )
     peak = V5E.peak_bf16_flops if bf16 else V5E.peak_f32_flops
     return {

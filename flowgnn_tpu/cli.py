@@ -203,16 +203,23 @@ def run_accuracy(
     )
     if metric == "auto":
         metric = "ap" if labels.shape[1] > 1 else "rocauc"
+    # The reference compiles NUM_TASK=1 (GIN/src/dcl.h) and these weights
+    # predict a single output, so multi-task label files (molpcba) are
+    # scored on task 0 only — averaging per-task metrics against one shared
+    # prediction vector would look like an OGB AP without measuring one.
+    if labels.shape[1] > 1:
+        print(
+            f"note: {labels.shape[1]}-task labels but the model head is "
+            "single-task (reference NUM_TASK=1) — scoring task 0",
+            file=sys.stderr,
+        )
     value = (
-        float(np.nanmean([
-            average_precision(labels[:, t], scores)
-            for t in range(labels.shape[1])
-        ]))
+        average_precision(labels[:, 0], scores)
         if metric == "ap"
         else roc_auc(labels[:, 0], scores)
     )
     return {"model": name, "dataset": dataset, "metric": metric,
-            "value": value, "num_graphs": len(graphs)}
+            "value": float(value), "num_graphs": len(graphs)}
 
 
 def main(argv=None) -> None:

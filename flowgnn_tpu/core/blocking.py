@@ -168,6 +168,13 @@ class LocalBlocks:
         return int(self.block_window.shape[0])
 
 
+def _auto_spill_capacity(size: int) -> int:
+    """Auto-sized spill tail: ZERO lanes when nothing spills (lets models
+    skip the per-layer spill stage entirely), else rounded up to 1024 so
+    buckets of one stream share a compiled program."""
+    return 0 if size == 0 else -(-int(size) // 1024) * 1024
+
+
 def build_local_blocks(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -271,10 +278,7 @@ def build_local_blocks_ell(
         if res is not None:
             u_local, v_local, edge_perm, valid, spill_idx, k_native = res
             if spill_capacity is None:
-                spill_capacity = (
-                    0 if spill_idx.size == 0
-                    else -(-int(spill_idx.size) // 1024) * 1024
-                )
+                spill_capacity = _auto_spill_capacity(spill_idx.size)
             if spill_idx.size > spill_capacity:
                 raise ValueError(
                     f"spill capacity {spill_capacity} < {spill_idx.size}"
@@ -336,9 +340,7 @@ def build_local_blocks_ell(
 
     spill_idx = np.concatenate(spill_parts) if spill_parts else np.zeros(0, np.int32)
     if spill_capacity is None:
-        spill_capacity = (
-            0 if spill_idx.size == 0 else -(-int(spill_idx.size) // 1024) * 1024
-        )
+        spill_capacity = _auto_spill_capacity(spill_idx.size)
     if spill_idx.size > spill_capacity:
         raise ValueError(
             f"spill capacity {spill_capacity} < {spill_idx.size}"
@@ -406,9 +408,7 @@ def build_local_slots(
          np.asarray(overflow, np.int32)]
     ) if (overflow or (real & ~local_mask).any()) else np.zeros(0, np.int32)
     if spill_capacity is None:  # auto-size like build_local_blocks_ell
-        spill_capacity = (
-            0 if spill_idx.size == 0 else -(-int(spill_idx.size) // 1024) * 1024
-        )
+        spill_capacity = _auto_spill_capacity(spill_idx.size)
     if spill_idx.size > spill_capacity:
         raise ValueError(f"spill capacity {spill_capacity} < {spill_idx.size}")
     spill = np.zeros(spill_capacity, np.int32)

@@ -41,6 +41,7 @@ def forward(
     return_intermediates: bool = False,
     edge_axis: str | None = None,
     fused: bool = False,
+    wps_key: str = "gin",
 ):
     """``edge_axis``: mesh axis name when edges are sharded across chips
     (partial per-chip messages all-reduced over ICI — SURVEY.md §2.4).
@@ -101,7 +102,7 @@ def forward(
                 final_relu=l != L - 1,
                 edge_attr=attr_off[:P],
                 ee_table=params["edge_embedding"][l].astype(prec.compute_dtype),
-                wps=_base.ell_wps("gin"),
+                wps=_base.ell_wps(wps_key),
             )
             inter.append(h)
             continue

@@ -8,6 +8,7 @@ virtual node) or on-device at load time (GAT's self edges).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional, Sequence
 
 from ..core import graphs as G
@@ -36,7 +37,10 @@ MODELS: dict[str, ModelSpec] = {
         reference_dir="GIN",
     ),
     "gin-vn": ModelSpec(
-        "gin-vn", gin.forward, loaders.load_gin, dim=100, num_layers=5,
+        # wps_key so a per-model ELL_WPS_DEFAULTS["gin-vn"] entry resolves
+        # to gin-vn, not to plain gin.
+        "gin-vn", functools.partial(gin.forward, wps_key="gin-vn"),
+        loaders.load_gin, dim=100, num_layers=5,
         transforms=(G.add_virtual_node,), reference_dir="GIN-VN",
     ),
     "gcn": ModelSpec(

@@ -128,9 +128,6 @@ def build_halo_batch(
     in_deg = np.bincount(receivers[real], minlength=n2).astype(np.int32)
     out_deg = np.bincount(senders[real], minlength=n2).astype(np.int32)
 
-    sh_send = np.full((k, ec), 0, np.int32)
-    sh_recv = np.full((k, ec), s_rows, np.int32)  # trash row
-    sh_attr = np.zeros((k, ec, edge_attr.shape[1]), np.int32)
     send_idx = np.zeros((k, k, hcap), np.int32)
 
     owner = receivers // s_rows
@@ -169,42 +166,69 @@ def build_halo_batch(
 
         block = PALLAS_ELL_BLOCK
         if k_blocks is None:
-            k_blocks = 1
-            for _, s_ext, r_loc in per_chip:
-                lb = build_local_blocks_ell(
+            # Build once letting each chip auto-size k, then rebuild only
+            # the chips whose k disagrees with the max (usually none) —
+            # the old probe pass built every layout twice.
+            lbs = [
+                build_local_blocks_ell(
                     s_ext, r_loc, s_rows + 1, window=window, block=block,
-                    spill_capacity=max(spill_cap, ec),
+                    spill_capacity=spill_cap,
                 )
-                k_blocks = max(k_blocks, lb.k_blocks)
-        lbs = [
-            build_local_blocks_ell(
-                s_ext, r_loc, s_rows + 1, window=window, block=block,
-                k_blocks=k_blocks, spill_capacity=spill_cap,
-            )
-            for _, s_ext, r_loc in per_chip
-        ]
-        p_lanes = lbs[0].u_local.shape[0]
+                for _, s_ext, r_loc in per_chip
+            ]
+            k_blocks = max(lb.k_blocks for lb in lbs)
+            lbs = [
+                lb if lb.k_blocks == k_blocks else build_local_blocks_ell(
+                    s_ext, r_loc, s_rows + 1, window=window, block=block,
+                    k_blocks=k_blocks, spill_capacity=spill_cap,
+                )
+                for lb, (_, s_ext, r_loc) in zip(lbs, per_chip)
+            ]
+        else:
+            lbs = [
+                build_local_blocks_ell(
+                    s_ext, r_loc, s_rows + 1, window=window, block=block,
+                    k_blocks=k_blocks, spill_capacity=spill_cap,
+                )
+                for _, s_ext, r_loc in per_chip
+            ]
+        # The layout is built over s_rows+1 local rows (the +1 is the trash
+        # row), so it carries one extra, always-empty trailing window of pad
+        # lanes. The kernels derive their grid from h.shape[0] == s_rows —
+        # TRIM the trash window's lanes so layout and kernel agree, or every
+        # shard spanning >1 window mis-chunks its lane array (caught by
+        # tests/test_halo.py::test_halo_local_multiwindow_shard).
+        nw_shard = s_rows // window
+        p_full = lbs[0].u_local.shape[0]
+        blk = p_full // ((nw_shard + 1) * lbs[0].k_blocks)
+        p_lanes = nw_shard * lbs[0].k_blocks * blk
+        for lb in lbs:
+            assert not lb.valid[p_lanes:].any(), "trash window held real lanes"
         sh_send = np.zeros((k, p_lanes + spill_cap), np.int32)
         sh_recv = np.full((k, p_lanes + spill_cap), s_rows, np.int32)
         sh_attr = np.zeros(
             (k, p_lanes + spill_cap, edge_attr.shape[1]), np.int32
         )
         for i, ((ei, s_ext, r_loc), lb) in enumerate(zip(per_chip, lbs)):
-            val = lb.valid
-            sh_send[i, :p_lanes][val] = s_ext[lb.edge_perm[val]]
-            sh_recv[i, :p_lanes][val] = r_loc[lb.edge_perm[val]]
-            sh_attr[i, :p_lanes][val] = edge_attr[ei[lb.edge_perm[val]]]
+            val = lb.valid[:p_lanes]
+            perm = lb.edge_perm[:p_lanes]
+            sh_send[i, :p_lanes][val] = s_ext[perm[val]]
+            sh_recv[i, :p_lanes][val] = r_loc[perm[val]]
+            sh_attr[i, :p_lanes][val] = edge_attr[ei[perm[val]]]
             nsp = lb.spill_count
             sp = lb.spill[:nsp]
             sh_send[i, p_lanes : p_lanes + nsp] = s_ext[sp]
             sh_recv[i, p_lanes : p_lanes + nsp] = r_loc[sp]
             sh_attr[i, p_lanes : p_lanes + nsp] = edge_attr[ei[sp]]
-        extras["loc_ulocal"] = np.stack([lb.u_local for lb in lbs])
-        extras["loc_vlocal"] = np.stack([lb.v_local for lb in lbs])
+        extras["loc_ulocal"] = np.stack([lb.u_local[:p_lanes] for lb in lbs])
+        extras["loc_vlocal"] = np.stack([lb.v_local[:p_lanes] for lb in lbs])
         # Static-grid marker; trailing dims carry (window, k_blocks) to the
         # models through shard_map slicing (models/base.py:ell_geometry).
         extras["loc_ell"] = np.zeros((k, window, k_blocks), np.int32)
     else:
+        sh_send = np.full((k, ec), 0, np.int32)
+        sh_recv = np.full((k, ec), s_rows, np.int32)  # trash row
+        sh_attr = np.zeros((k, ec, edge_attr.shape[1]), np.int32)
         for i, (ei, s_ext, r_loc) in enumerate(per_chip):
             sh_send[i, : ei.size] = s_ext
             sh_recv[i, : ei.size] = r_loc
@@ -213,13 +237,19 @@ def build_halo_batch(
             from ..core.blocking import build_local_slots
             from ..models.base import PALLAS_SLOTS
 
+            # Same trash-window trim as the ELL branch above: the slot
+            # table is built over s_rows+1 rows but the kernels grid over
+            # h.shape[0] == s_rows.
+            nw_shard = s_rows // window
+            keep = nw_shard * PALLAS_SLOTS * window
             slot_u, slot_sp, slot_mask = [], [], []
             for ei, s_ext, r_loc in per_chip:
                 us, sp, cnt = build_local_slots(
                     s_ext, r_loc, s_rows + 1, window=window,
                     slots=PALLAS_SLOTS, spill_capacity=spill_cap,
                 )
-                slot_u.append(us)
+                assert (us[keep:] == window).all(), "trash window had slots"
+                slot_u.append(us[:keep])
                 slot_sp.append(sp)
                 slot_mask.append(np.arange(spill_cap) < cnt)
             extras["slot_uslot"] = np.stack(slot_u)

@@ -175,3 +175,41 @@ def test_halo_local_kernels_equal_single(name, _interp, graphs16, reference_root
     kk = packed.num_graphs
     assert_allclose(got[:kk], expected[:kk], rtol=1e-5, atol=1e-5,
                     msg=f"{name} halo+local")
+
+
+@pytest.mark.parametrize("name", ["gin", "pna"])
+def test_halo_local_multiwindow_shard(name, _interp, graphs16, reference_root):
+    """Regression: shards spanning MORE than one ELL window (S = 2·W here)
+    must still agree with single-chip — the layout is built over S+1 local
+    rows while the kernels grid over S, and the trailing trash-row window's
+    pad lanes must be trimmed or every lane block mis-chunks (silent wrong
+    outputs, round-2 code review finding #1)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 fake devices")
+    from flowgnn_tpu.core.synthetic import synthetic_molhiv
+
+    spec = registry.get(name)
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jparams = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(
+        spec, synthetic_molhiv(64, seed=7, with_eigen=spec.needs_eigen)
+    )
+    caps = dict(node_capacity=2047, edge_capacity=8192, graph_capacity=80)
+    packed = pack_graphs(tg, with_eigen=spec.needs_eigen, **caps)
+    blocked = "local_slots" if name == "pna" else "local_ell"
+    hb = build_halo_batch(packed, k=2, edge_slack=8.0, blocked=blocked)
+    s_rows = hb["node_feat"].shape[1]
+    assert s_rows == 1024  # two 512-row ELL windows per shard
+    # Real nodes must spill into the SECOND window of a shard, or the
+    # mis-chunk this test guards against has nothing to corrupt.
+    assert int(packed.n_node[:-1].sum()) > 512
+    stacked = stack_halo_buckets([hb])
+    mesh = make_mesh(data=1, edge=2)
+    fwd = halo_forward(spec.forward, mesh, FLOAT32)
+    got = np.asarray(fwd(jparams, stacked))[0]
+    expected = np.asarray(
+        jax.jit(lambda p, b: spec.forward(p, b, FLOAT32))(jparams, as_batch(packed))
+    )
+    kk = packed.num_graphs
+    assert_allclose(got[:kk], expected[:kk], rtol=1e-5, atol=1e-5,
+                    msg=f"{name} halo multi-window shard")
