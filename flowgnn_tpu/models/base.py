@@ -40,9 +40,9 @@ PALLAS_ELL_BLOCK = 1536
 # (k=1) or the grid doubles; smaller windows then cut the one-hot matmul
 # FLOPs (∝ window) until per-step grid overhead takes over.
 ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
-    "gin": (256, 768),
+    "gin": (256, 640),  # cli tune r2: 1.90 vs 2.05 @ B768
     "gin-vn": (256, 1152),  # cli tune sweep r2: 4.80 vs 4.88 @ (512, 2048)
-    "gcn": (256, 1024),
+    "gcn": (256, 640),  # cli tune r2: 1.97 vs 2.19 @ B896 / 2.42 @ B1024
     "gat": (256, 1024),
     "dgn": (256, 1024),
     "pna": (512, 1536),  # dest-major slot kernel: W512 beats W256 (3.03 vs 3.43)
@@ -132,6 +132,18 @@ def as_batch(
                 window=window or PALLAS_ELL_WINDOW,
                 block=block or PALLAS_ELL_BLOCK,
             )
+            if lb.k_blocks > 1:
+                import sys
+
+                # k > 1 doubles every window's lane count — correct but
+                # 2x the kernel cost; the tuned per-model blocks assume a
+                # molhiv-density stream (see cli tune).
+                print(
+                    f"flowgnn_tpu: ELL grid k={lb.k_blocks} (densest window "
+                    f"exceeds block={lb.block}) — consider --ell-block >= "
+                    f"{lb.k_blocks * lb.block} or `cli tune` for this stream",
+                    file=sys.stderr,
+                )
         else:
             lb = build_local_blocks(
                 packed.senders, packed.receivers, n, packed.edge_capacity,
