@@ -109,18 +109,19 @@ def measure_slot_stage(
     dt = prec.compute_dtype
     datas = []
     lanes = real_edges = rows = 0
-    w = s = None
     for b in batches:
         n = b["node_feat"].shape[0]
+        # Per-bucket geometry: the slot axis auto-sizes per bucket, so two
+        # buckets of one stream may carry different S.
         w, s = (int(x) for x in b["slot_geom"].shape[-2:])
         us = b["slot_uslot"]
-        datas.append((jnp.asarray(us), n))
+        datas.append((jnp.asarray(us), n, w, s))
         lanes += us.shape[0]
         real_edges += int((np.asarray(us) < w).sum())
         rows += -(-n // w) * w
 
     def one_pass(c):
-        for us, n in datas:
+        for us, n, w, s in datas:
             h = jnp.zeros((n, dim), dt) + c
             for _ in range(layers):
                 st = pna_local_stats_ell(us, h, w, s, 0.0, 0.0)
