@@ -137,3 +137,34 @@ def test_protocol_time_stream_cpu():
     best, avg = time_stream(spec, params, batches, FLOAT32, reps=2, trials=2)
     assert 0 < best <= avg
     assert dispatch_floor(FLOAT32) > 0
+
+
+def test_slot_stage_heterogeneous_buckets(monkeypatch):
+    """Regression: a stream whose buckets auto-size DIFFERENT slot counts
+    must not feed one bucket's geometry to another (TPU INTERNAL error on
+    the 4-bucket molpcba GAT stream before the fix)."""
+    monkeypatch.setenv("FLOWGNN_PALLAS_INTERPRET", "1")
+    from flowgnn_tpu.bench.spmm_stage import measure_slot_stage
+    from flowgnn_tpu.core.graphs import Graph, pack_graphs_aligned
+    from flowgnn_tpu.core.numerics import FLOAT32
+    from flowgnn_tpu.models.base import as_batch
+
+    def star(deg):  # max in-degree = deg at node 0
+        ei = np.array(
+            [(i, 0) for i in range(1, deg + 1)]
+            + [(0, i) for i in range(1, deg + 1)], np.int32
+        )
+        return Graph(np.zeros((deg + 1, 9), np.int32), ei,
+                     np.zeros((ei.shape[0], 3), np.int32))
+
+    caps = dict(node_capacity=255, edge_capacity=1024, graph_capacity=8)
+    batches = [
+        as_batch(pack_graphs_aligned([star(d)], window=128, **caps),
+                 blocked="local_slots", window=128)
+        for d in (3, 6)
+    ]
+    s_values = {b["slot_geom"].shape[-1] for b in batches}
+    assert len(s_values) == 2  # genuinely heterogeneous slot axes
+    out = measure_slot_stage(batches, FLOAT32, reps=1, trials=1, layers=1,
+                             dim=8)
+    assert out["time_us"] > 0
