@@ -40,9 +40,9 @@ PALLAS_ELL_BLOCK = 1536
 # (k=1) or the grid doubles; smaller windows then cut the one-hot matmul
 # FLOPs (∝ window) until per-step grid overhead takes over.
 ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
-    "gin": (256, 640),  # cli tune r2: 1.90 vs 2.05 @ B768
-    "gin-vn": (256, 1152),  # cli tune sweep r2: 4.80 vs 4.88 @ (512, 2048)
-    "gcn": (256, 640),  # cli tune r2: 1.97 vs 2.19 @ B896 / 2.42 @ B1024
+    "gin": (384, 896),  # W384 sweep: 1.75 vs 1.90 @ (256,640) / 1.81 @ (512,1280)
+    "gin-vn": (384, 1664),  # W384 sweep: 2.30 vs 2.49 @ (256,1152)
+    "gcn": (384, 896),  # W384 sweep: 1.75 vs 1.96 @ (256,640)
     "gat": (256, 1024),
     "dgn": (256, 1024),
     "pna": (512, 1536),  # dest-major slot kernel: W512 beats W256 (3.03 vs 3.43)
