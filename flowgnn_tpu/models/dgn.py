@@ -27,11 +27,17 @@ EIG_EPS = 1.0 / 8192  # ap_fixed_epsilon<ap_fixed<16,3>> (DGN/src/node_embedding
 
 def _atom_embed_dgn(tables: jnp.ndarray, node_feat: jnp.ndarray, prec: Precision):
     """DGN keeps 9 separate [119, dim] tables (DGN/src/load_inputs.cc:114-137);
-    equivalent single gather over the stacked [9·119, dim] table."""
-    flat = tables.reshape(-1, tables.shape[-1])
-    rows = node_feat + (jnp.arange(9, dtype=jnp.int32) * 119)[None, :]
-    h = jnp.take(flat, rows, axis=0).sum(axis=1)
-    return prec.q(h.astype(prec.compute_dtype))
+    the used rows of each (vocab_f ≤ 119) are concatenated into the compact
+    [173, dim] layout the other models use, so the lookup-sum runs as
+    base.atom_embed's multi-hot MXU matmul instead of an HBM-latency-bound
+    9-row dynamic gather (~3x faster per bucket, same sum exactly)."""
+    from ..core.features import ATOM_FEATURE_DIMS
+    from .base import atom_embed
+
+    compact = jnp.concatenate(
+        [tables[i, :v] for i, v in enumerate(ATOM_FEATURE_DIMS)], axis=0
+    )
+    return atom_embed(compact, node_feat, prec)
 
 
 def forward(
