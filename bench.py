@@ -174,7 +174,7 @@ def main() -> None:
                 batches, prec, reps=args.reps, trials=args.trials,
                 bf16=not args.f32,
             )
-        elif "slot_uslot" in batches[0]:
+        elif "slot_src" in batches[0]:
             from flowgnn_tpu.bench.spmm_stage import measure_slot_stage
 
             spmm = measure_slot_stage(

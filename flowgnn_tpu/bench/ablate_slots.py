@@ -112,7 +112,7 @@ def main() -> None:
         h0 = h0.at[:, 0, :9].set(batch["node_feat"].astype(prec.compute_dtype))
         h0 = _project(params["proj_w"][0], h0, prec)
         s0 = _scores(h0, params["a_src"][0], prec)
-        uslot = jnp.asarray(batch["slot_uslot"])
+        uslot = jnp.asarray(batch["slot_stack"])
 
         def kern(c):
             hf = h0.reshape(n, H * D) + c
@@ -176,7 +176,7 @@ def main() -> None:
         )
         deg = jnp.maximum(out_degree(batch, None), 1).astype(dt)
         h0 = _atom_embed_dgn(params["atom_tables"], batch["node_feat"], prec)
-        uslot = jnp.asarray(batch["slot_uslot"])
+        uslot = jnp.asarray(batch["slot_src"])
 
         def kern(c):
             h = h0 + c

@@ -114,9 +114,9 @@ def measure_slot_stage(
         # Per-bucket geometry: the slot axis auto-sizes per bucket, so two
         # buckets of one stream may carry different S.
         w, s = (int(x) for x in b["slot_geom"].shape[-2:])
-        us = b["slot_uslot"]
+        us = b["slot_src"]
         datas.append((jnp.asarray(us), n, w, s))
-        lanes += us.shape[0]
+        lanes += us.size
         real_edges += int((np.asarray(us) < w).sum())
         rows += -(-n // w) * w
 

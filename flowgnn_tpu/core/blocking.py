@@ -379,8 +379,13 @@ def build_local_slots(
     elementwise op instead of a scatter. In-degree overflow and
     window-crossing edges go to the spill tail.
 
-    Returns (u_slot [NW·S·W] int32, spill [spill_capacity] int32,
-    spill_count int).
+    Returns (slot_src [NW·W, S] int32 — row v_padded's s-th in-edge source
+    local index, sentinel ``window`` when empty —, spill [spill_capacity]
+    int32, spill_count int). The per-dest-row orientation lets the kernels
+    ride the table as extra lanes of the feature tile (exact small integers
+    in the tile's dtype), so it costs NO extra DMA — a [R, 1]-shaped index
+    input would be padded to full (8,128) tiles by the DMA engine, a
+    measured ~128x inflation that dominated the slot kernels' runtime.
     """
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
@@ -388,7 +393,7 @@ def build_local_slots(
     local_mask = real & (senders // window == receivers // window)
     num_windows = -(-num_nodes // window)
 
-    u_slot = np.full(num_windows * slots * window, window, np.int32)
+    slot_src = np.full((num_windows * window, slots), window, np.int32)
     counts = np.zeros(num_nodes, np.int32)
     overflow = []
     loc = np.nonzero(local_mask)[0]
@@ -400,8 +405,7 @@ def build_local_slots(
             continue
         counts[v] = c + 1
         w = v // window
-        r = v - w * window
-        u_slot[(w * slots + c) * window + r] = senders[e] - w * window
+        slot_src[v, c] = senders[e] - w * window
 
     spill_idx = np.concatenate(
         [np.nonzero(real & ~local_mask)[0].astype(np.int32),
@@ -413,4 +417,4 @@ def build_local_slots(
         raise ValueError(f"spill capacity {spill_capacity} < {spill_idx.size}")
     spill = np.zeros(spill_capacity, np.int32)
     spill[: spill_idx.size] = spill_idx
-    return u_slot, spill, int(spill_idx.size)
+    return slot_src, spill, int(spill_idx.size)

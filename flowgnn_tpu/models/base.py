@@ -110,11 +110,23 @@ def as_batch(
             np.bincount(packed.receivers[loc], minlength=n).max()
         ) if loc.any() else 1
         s_slots = max(1, min(s_needed, PALLAS_SLOTS))
-        u_slot, spill, count = build_local_slots(
+        slot_src, spill, count = build_local_slots(
             packed.senders, packed.receivers, n,
             window=w, slots=s_slots,
         )
-        batch["slot_uslot"] = u_slot
+        batch["slot_src"] = slot_src  # [NW·W, S] — rides the feature tile
+        # GAT's stacked-gather kernel wants the [NW·S·W] column layout in a
+        # float dtype (bf16 indices halve the DMA-tile traffic of a
+        # [R, 1]-blocked input; exact for W <= 256).
+        import ml_dtypes
+
+        nw = slot_src.shape[0] // w
+        stack = np.ascontiguousarray(
+            slot_src.reshape(nw, w, s_slots).transpose(0, 2, 1)
+        ).reshape(-1)
+        batch["slot_stack"] = stack.astype(
+            ml_dtypes.bfloat16 if w <= 256 else np.float32
+        )
         batch["slot_spill"] = spill
         batch["slot_spill_mask"] = (
             np.arange(spill.shape[0]) < count

@@ -76,7 +76,7 @@ def forward(
     # Dest-major slot layout (single-chip default): no scatter matmul —
     # see ops/pallas/local_layer.py:dgn_local_layer_slots.
     slots_mode = (
-        "slot_uslot" in batch and prec.fixed is None and edge_axis is None
+        "slot_src" in batch and prec.fixed is None and edge_axis is None
     )
     if local:
         P = batch["loc_ulocal"].shape[0]
@@ -112,7 +112,7 @@ def forward(
                 )
             h = prec.q(
                 dgn_local_layer_slots(
-                    batch["slot_uslot"], h, eig,
+                    batch["slot_src"], h, eig,
                     (1.0 / deg)[:, 0], eigw_sum, 1.0 / eig_abssum,
                     w_post, params["posttrans_b"][l][None, :],
                     window, n_slots, m_spill=m_sp,

@@ -93,7 +93,7 @@ def forward(
     # Dest-major slot layout (single-chip default): no scatter matmul, no
     # score gather, softmax normalised in-kernel (gat_local_message_slots).
     slots_mode = (
-        "slot_uslot" in batch and prec.fixed is None and edge_axis is None
+        "slot_src" in batch and prec.fixed is None and edge_axis is None
     )
     if local:
         P = batch["loc_ulocal"].shape[0]
@@ -129,7 +129,7 @@ def forward(
                     sp_v, n,
                 )
                 both = gat_local_message_slots(
-                    batch["slot_uslot"], h.reshape(n, H * D), s_src, s_tgt,
+                    batch["slot_stack"], h.reshape(n, H * D), s_src, s_tgt,
                     window, n_slots, H, divide=False,
                 ) + sp_both
                 msg = prec.q(both[:, : H * D]).reshape(n, H, D)
@@ -140,7 +140,7 @@ def forward(
             else:
                 msg = prec.q(
                     gat_local_message_slots(
-                        batch["slot_uslot"], h.reshape(n, H * D),
+                        batch["slot_stack"], h.reshape(n, H * D),
                         s_src, s_tgt, window, n_slots, H, divide=True,
                     )
                 ).reshape(n, H, D)

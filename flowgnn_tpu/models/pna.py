@@ -53,7 +53,7 @@ def forward(
     # pna_local_stats_ell); slot-overflow and window-crossing edges arrive
     # through the spill tail and are merged with XLA segment ops.
     halo = halo_mode(batch, edge_axis)
-    slots = "slot_uslot" in batch and prec.fixed is None and (
+    slots = "slot_src" in batch and prec.fixed is None and (
         edge_axis is None or halo
     )
     if slots:
@@ -86,7 +86,7 @@ def forward(
             )
             h = prec.q(
                 pna_local_layer(
-                    batch["slot_uslot"], h,
+                    batch["slot_src"], h,
                     (1.0 / in_deg)[:, 0], t[:, 0], scale[:, 0],
                     w_cat, params["conv_b"][l][None, :],
                     int(window), int(n_slots), MAX_INIT, MIN_INIT,
@@ -101,7 +101,7 @@ def forward(
             # Kernel arg order: (min-accumulator seed, max-accumulator seed)
             # = (upper extreme, lower extreme) — PNA/src/util.h ap_fixed_min/max.
             st = pna_local_stats_ell(
-                batch["slot_uslot"], h, int(window), int(n_slots),
+                batch["slot_src"], h, int(window), int(n_slots),
                 MAX_INIT, MIN_INIT,
             )
             s, s2 = st[:, :d], st[:, d : 2 * d]

@@ -977,8 +977,56 @@ def dgn_local_layer_ell(
     return out[:n]
 
 
+def _slot_ncols(window: int, slots: int) -> int:
+    """Tile columns the slot table occupies (2 hi/lo halves per slot when
+    the window exceeds bf16's exact-integer range of 256)."""
+    return slots if window <= 256 else 2 * slots
+
+
+def _slot_cols(slot_src: jnp.ndarray, window: int, dtype) -> jnp.ndarray:
+    """Encode slot_src [R, S] (values 0..window, sentinel=window) as exact
+    small-integer columns of ``dtype``. Appended to the feature tile, the
+    slot table rides the tile's (already DMA-padded) spare lanes — a
+    separate [R, 1]-blocked int32 input is padded to full (8,128) tiles by
+    the DMA engine, a measured ~128x traffic inflation that dominated
+    these kernels' runtime in the first cut. bf16 holds integers ≤ 256
+    exactly; wider windows split each slot into (lo, hi) = (p % 256,
+    p // 256) halves."""
+    if window <= 256:
+        cols = slot_src
+    else:
+        cols = jnp.concatenate([slot_src % 256, slot_src // 256], axis=1)
+    return cols.astype(dtype)
+
+
+def _slot_onehot(h_ref, lanes_f, base: int, s: int, slots: int, window: int):
+    """One [W, W] one-hot gather matrix + [W, 1] valid mask for slot ``s``
+    from the encoded columns at ``base`` of the feature tile block.
+
+    Measured note (v5e): S separate per-slot [W, W] gather matmuls beat
+    both one stacked [S·W, W] matmul over a separately-DMA'd index column
+    (the DMA inflation above) and in-kernel index restacking (VPU select
+    chains) — but per-slot transcendentals/tiny matmuls in the CONSUMER
+    lose; batch those across slots on the gather outputs instead (see
+    gat_local_message_slots)."""
+    if window <= 256:
+        p = h_ref[:, base + s : base + s + 1].astype(jnp.float32)
+        onehot = (p == lanes_f).astype(h_ref.dtype)
+        valid = (p < float(window)).astype(jnp.float32)
+    else:
+        lo = h_ref[:, base + s : base + s + 1].astype(jnp.float32)
+        hi = h_ref[:, base + slots + s : base + slots + s + 1].astype(
+            jnp.float32
+        )
+        onehot = (
+            (lo == lanes_f % 256.0) & (hi == lanes_f // 256.0)
+        ).astype(h_ref.dtype)
+        valid = (lo + 256.0 * hi < float(window)).astype(jnp.float32)
+    return onehot, valid
+
+
 def pna_local_stats_ell(
-    u_slot: jnp.ndarray,  # [NW·S·W] dest-major slot sources (sentinel=window)
+    slot_src: jnp.ndarray,  # [NW·W, S] per-dest in-edge sources (sentinel=window)
     h: jnp.ndarray,  # [n, D]
     window: int,
     slots: int,
@@ -988,37 +1036,38 @@ def pna_local_stats_ell(
     """PNA's four running aggregates (sum, sum², min, max —
     PNA/src/message_passing.cc:121-147) against window-local state.
 
-    Grid (num_windows,): ONE step per window. The whole window's slot table
-    gathers in a single stacked [S·W, W] one-hot matmul (MXU-shaped: tall
-    rows, ≥128 minor), then the four statistics update as an unrolled DENSE
-    loop over the S slot slices — the layout transposition that removes
-    scatter-min/max entirely (XLA's lowering of those was both slow and
-    minutes-long to compile), now also without the per-slot grid steps that
-    dominated the round-2 interim version (slots× fewer steps, no scratch
-    accumulators). Returns [n, 4·D] channels (sum ‖ sum² ‖ min ‖ max),
-    seeded at the reference's ap_fixed extremes.
+    Grid (num_windows,): ONE step per window. The slot table rides the
+    feature tile's spare lanes (_slot_cols — zero extra DMA); per slot one
+    [W, W] one-hot matmul gathers that slot's sources and the four
+    statistics update as a DENSE unrolled loop — the layout transposition
+    that removes scatter-min/max entirely (XLA's lowering of those was
+    both slow and minutes-long to compile). Returns [n, 4·D] channels
+    (sum ‖ sum² ‖ min ‖ max), seeded at the reference's ap_fixed extremes.
     """
     n, d = h.shape
     num_windows = -(-n // window)
     pad = num_windows * window - n
     hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
-    sw = slots * window
+    hcat = jnp.concatenate(
+        [hp, _slot_cols(slot_src, window, hp.dtype)], axis=1
+    )
+    ncols = d + _slot_ncols(window, slots)
 
-    def kernel(uslot_ref, h_ref, out_ref):
-        uslot = uslot_ref[:, 0]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1)
-        onehot = (uslot[:, None] == lanes).astype(h_ref.dtype)
-        h_all = jnp.dot(onehot, h_ref[:], preferred_element_type=jnp.float32)
-        valid_all = (uslot < window)[:, None].astype(jnp.float32)
+    def kernel(h_ref, out_ref):
+        lanes_f = jax.lax.broadcasted_iota(
+            jnp.int32, (window, window), 1
+        ).astype(jnp.float32)
         acc_s = jnp.zeros((window, d), jnp.float32)
         acc_q = jnp.zeros((window, d), jnp.float32)
         acc_mn = jnp.full((window, d), min_init, jnp.float32)
         acc_mx = jnp.full((window, d), max_init, jnp.float32)
         for s in range(slots):
-            h_u = h_all[s * window : (s + 1) * window]
-            valid = valid_all[s * window : (s + 1) * window]
-            acc_s += h_u * valid
-            acc_q += h_u * h_u * valid
+            onehot, valid = _slot_onehot(h_ref, lanes_f, d, s, slots, window)
+            h_u = jnp.dot(
+                onehot, h_ref[:, :d], preferred_element_type=jnp.float32
+            )
+            acc_s += h_u
+            acc_q += h_u * h_u
             acc_mn = jnp.minimum(acc_mn, jnp.where(valid > 0, h_u, min_init))
             acc_mx = jnp.maximum(acc_mx, jnp.where(valid > 0, h_u, max_init))
         out_ref[:] = jnp.concatenate(
@@ -1032,23 +1081,22 @@ def pna_local_stats_ell(
             dimension_semantics=("parallel",)
         ),
         in_specs=[
-            pl.BlockSpec((sw, 1), lambda w: (w, 0)),
-            pl.BlockSpec((window, d), lambda w: (w, 0)),
+            pl.BlockSpec((window, ncols), lambda w: (w, 0)),
         ],
         out_specs=pl.BlockSpec((window, 4 * d), lambda w: (w, 0)),
         out_shape=jax.ShapeDtypeStruct((num_windows * window, 4 * d), h.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * num_windows * sw * window * d,
-            bytes_accessed=(num_windows * sw + 5 * num_windows * window) * d * 4,
+            flops=2 * num_windows * slots * window * window * d,
+            bytes_accessed=5 * num_windows * window * d * 4,
             transcendentals=0,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(u_slot[:, None], hp)
+    )(hcat)
     return out[:n]
 
 
 def pna_local_layer(
-    u_slot: jnp.ndarray,  # [NW·S·W] dest-major slot sources (sentinel=window)
+    slot_src: jnp.ndarray,  # [NW·W, S] per-dest in-edge sources (sentinel=window)
     h: jnp.ndarray,  # [n, D]
     inv_deg: jnp.ndarray,  # [n] 1/max(in_degree, 1)
     t: jnp.ndarray,  # [n] log(out_deg+1)/avg_deg scaler
@@ -1062,13 +1110,14 @@ def pna_local_layer(
 ) -> jnp.ndarray:
     """One whole PNA layer in a single VMEM pass (no-spill fast path).
 
-    Message phase = the slot-batched four-aggregate gather (see
-    pna_local_stats_ell); the epilogue then fuses everything the reference's
-    apply unit does (PNA/src/node_embedding.cc:123-214): degree-normalised
-    mean/std, the 12-block tower as ONE [4D, 3D] matmul with the three
-    scalers applied to its thirds (the scalers distribute over the linear
-    tower), and the residual h + relu(acc) — so the [n, 4·D] stats tensor
-    and the [n, 3·D] tower output never exist in HBM. Returns next-h [n, D].
+    Message phase = the per-slot one-hot four-aggregate gather (see
+    pna_local_stats_ell); the epilogue then fuses everything the
+    reference's apply unit does (PNA/src/node_embedding.cc:123-214):
+    degree-normalised mean/std, the 12-block tower as ONE [4D, 3D] matmul
+    with the three scalers applied to its thirds (the scalers distribute
+    over the linear tower), and the residual h + relu(acc) — so the
+    [n, 4·D] stats tensor and the [n, 3·D] tower output never exist in
+    HBM. Returns next-h [n, D].
     """
     n, d = h.shape
     num_windows = -(-n // window)
@@ -1076,26 +1125,28 @@ def pna_local_layer(
     hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
     aux = jnp.stack([inv_deg, t, scale], axis=1).astype(hp.dtype)  # [n, 3]
     aux = jnp.pad(aux, ((0, pad), (0, 0))) if pad else aux
-    hcat = jnp.concatenate([hp, aux], axis=1)  # [NW·W, D+3]
-    sw = slots * window
+    hcat = jnp.concatenate(
+        [hp, aux, _slot_cols(slot_src, window, hp.dtype)], axis=1
+    )
+    ncols = d + 3 + _slot_ncols(window, slots)
 
-    def kernel(uslot_ref, h_ref, wcat_ref, b_ref, out_ref):
-        uslot = uslot_ref[:, 0]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1)
-        onehot = (uslot[:, None] == lanes).astype(h_ref.dtype)
-        h_all = jnp.dot(
-            onehot, h_ref[:, :d], preferred_element_type=jnp.float32
-        )
-        valid_all = (uslot < window)[:, None].astype(jnp.float32)
+    def kernel(h_ref, wcat_ref, b_ref, out_ref):
+        lanes_f = jax.lax.broadcasted_iota(
+            jnp.int32, (window, window), 1
+        ).astype(jnp.float32)
         acc_s = jnp.zeros((window, d), jnp.float32)
         acc_q = jnp.zeros((window, d), jnp.float32)
         acc_mn = jnp.full((window, d), min_init, jnp.float32)
         acc_mx = jnp.full((window, d), max_init, jnp.float32)
         for s in range(slots):
-            h_u = h_all[s * window : (s + 1) * window]
-            valid = valid_all[s * window : (s + 1) * window]
-            acc_s += h_u * valid
-            acc_q += h_u * h_u * valid
+            onehot, valid = _slot_onehot(
+                h_ref, lanes_f, d + 3, s, slots, window
+            )
+            h_u = jnp.dot(
+                onehot, h_ref[:, :d], preferred_element_type=jnp.float32
+            )
+            acc_s += h_u
+            acc_q += h_u * h_u
             acc_mn = jnp.minimum(acc_mn, jnp.where(valid > 0, h_u, min_init))
             acc_mx = jnp.maximum(acc_mx, jnp.where(valid > 0, h_u, max_init))
         invd = h_ref[:, d : d + 1].astype(jnp.float32)
@@ -1121,25 +1172,25 @@ def pna_local_layer(
             dimension_semantics=("parallel",)
         ),
         in_specs=[
-            pl.BlockSpec((sw, 1), lambda w: (w, 0)),
-            pl.BlockSpec((window, d + 3), lambda w: (w, 0)),
+            pl.BlockSpec((window, ncols), lambda w: (w, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
         out_shape=jax.ShapeDtypeStruct((num_windows * window, d), h.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * num_windows * (sw * window * d + window * 4 * d * 3 * d),
-            bytes_accessed=(num_windows * sw + 2 * num_windows * window) * d * 4,
+            flops=2 * num_windows
+            * (slots * window * window * d + window * 4 * d * 3 * d),
+            bytes_accessed=2 * num_windows * window * d * 4,
             transcendentals=num_windows * window * d,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(u_slot[:, None], hcat, w_cat, b)
+    )(hcat, w_cat, b)
     return out[:n]
 
 
 def gat_local_message_slots(
-    u_slot: jnp.ndarray,  # [NW·S·W] dest-major slot sources (sentinel=window)
+    slot_stack: jnp.ndarray,  # [NW·S·W] stacked dest-major sources, FLOAT dtype
     h: jnp.ndarray,  # [n, H·D] projected features, head-major flat
     s_src: jnp.ndarray,  # [n, H]
     s_tgt: jnp.ndarray,  # [n, H]
@@ -1152,12 +1203,21 @@ def gat_local_message_slots(
 
     One stacked [S·W, W] one-hot matmul gathers every dest row's in-edge
     sources ([h ‖ s_tgt] share the tile); s_src needs no gather at all (it
-    is indexed by the dest — the window rows themselves); scores, the
-    numerator and the denominator then reduce DENSELY over the slot axis
-    (GAT/src/message_passing.cc:122-148 math, raw exp). With ``divide``
-    the softmax normalisation happens in-kernel (the denominator is
-    complete per window) → returns [n, H·D]; otherwise returns
-    [n, H·D + H] raw sums for the caller to merge with spill terms.
+    is indexed by the dest — the window rows the kernel block already
+    holds); scores, the numerator and the denominator then reduce DENSELY
+    over the slot axis (GAT/src/message_passing.cc:122-148 math, raw exp).
+    With ``divide`` the softmax normalisation happens in-kernel (the
+    denominator is complete per window) → returns [n, H·D]; otherwise
+    returns [n, H·D + H] raw sums for the caller to merge with spill terms.
+
+    ``slot_stack`` holds the indices as exact small FLOATS (bf16 for
+    W ≤ 256, f32 beyond): a [R, 1]-blocked index column is DMA-padded to
+    full tiles, so halving the element size halves the dominant input
+    traffic. (Unlike DGN/PNA, GAT measured FASTER with this stacked
+    single-matmul layout than with per-slot [W, W] gathers from
+    tile-resident columns — its scoring consumes gathered s_tgt per slot,
+    and every per-slot scoring variant lost more than the stacked gather
+    saves; see BENCH.md.)
     """
     n, hd = h.shape
     d = hd // num_heads
@@ -1172,11 +1232,13 @@ def gat_local_message_slots(
     out_dim = hd if divide else hd + num_heads
 
     def kernel(uslot_ref, h_ref, ssrc_ref, out_ref):
-        uslot = uslot_ref[:, 0]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1)
+        uslot = uslot_ref[:, 0].astype(jnp.float32)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1).astype(
+            jnp.float32
+        )
         onehot = (uslot[:, None] == lanes).astype(h_ref.dtype)
         hu_all = jnp.dot(onehot, h_ref[:], preferred_element_type=jnp.float32)
-        valid_all = (uslot < window)[:, None].astype(jnp.float32)
+        valid_all = (uslot < float(window))[:, None].astype(jnp.float32)
         s1 = ssrc_ref[:].astype(jnp.float32)  # [W, H] — dest rows, no gather
         cols = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 1) // d
         rows = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 0)
@@ -1223,12 +1285,12 @@ def gat_local_message_slots(
             transcendentals=num_windows * sw * num_heads,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(u_slot[:, None], hcat, s_src)
+    )(slot_stack[:, None], hcat, s_src)
     return out[:n]
 
 
 def dgn_local_layer_slots(
-    u_slot: jnp.ndarray,  # [NW·S·W]
+    slot_src: jnp.ndarray,  # [NW·W, S] per-dest in-edge sources (sentinel=window)
     h: jnp.ndarray,  # [n, D]
     eig: jnp.ndarray,  # [n]
     inv_deg: jnp.ndarray,  # [n] 1/max(out_degree, 1)
@@ -1241,12 +1303,16 @@ def dgn_local_layer_slots(
     m_spill: jnp.ndarray | None = None,  # [n, 2·D] pre-reduced crossing msgs
 ) -> jnp.ndarray:
     """One whole DGN layer over the dest-major slot layout — no scatter
-    matmul: one stacked [S·W, W] gather of [h ‖ eig], dense slot-axis
-    channel sums (m2 factored as Σ eig_u·h_u − eig_v·m1), then the same
-    fused epilogue as dgn_local_layer_ell. ``m_spill`` carries the
-    pre-reduced window-crossing/overflow contributions (its m2 half is
-    already fully weighted, so it adds AFTER the local factoring).
-    Returns next-h [n, D]."""
+    matmul: the slot table rides the feature tile's spare lanes (zero
+    extra DMA, see _slot_cols), per slot one [W, W] one-hot matmul
+    gathers [h ‖ eig], channel sums reduce densely over slots (m2
+    factored as Σ eig_u·h_u − eig_v·m1; sentinel slots gather zero rows
+    so sums need no validity mask), then the same fused epilogue as
+    dgn_local_layer_ell. ``m_spill`` carries the pre-reduced
+    window-crossing/overflow contributions (its m2 half is already fully
+    weighted, so it adds AFTER the local factoring). Returns next-h
+    [n, D].
+    """
     n, d = h.shape
     num_windows = -(-n // window)
     pad = num_windows * window - n
@@ -1255,29 +1321,31 @@ def dgn_local_layer_slots(
         hp.dtype
     )
     aux = jnp.pad(aux, ((0, pad), (0, 0))) if pad else aux
-    hcat = jnp.concatenate([hp, aux], axis=1)  # [NW·W, D+4]
-    sw = slots * window
+    hcat = jnp.concatenate(
+        [hp, aux, _slot_cols(slot_src, window, hp.dtype)], axis=1
+    )  # [NW·W, D+4+scols]
+    ncols = d + 4 + _slot_ncols(window, slots)
     has_spill = m_spill is not None
     if has_spill and pad:
         m_spill = jnp.pad(m_spill, ((0, pad), (0, 0)))
 
-    def kernel(uslot_ref, h_ref, *rest):
+    def kernel(h_ref, *rest):
         wpost_ref, b_ref = rest[-3], rest[-2]
         out_ref = rest[-1]
-        uslot = uslot_ref[:, 0]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1)
-        onehot = (uslot[:, None] == lanes).astype(h_ref.dtype)
-        hu_all = jnp.dot(
-            onehot, h_ref[:, : d + 1], preferred_element_type=jnp.float32
-        )
-        valid_all = (uslot < window)[:, None].astype(jnp.float32)
+        lanes_f = jax.lax.broadcasted_iota(
+            jnp.int32, (window, window), 1
+        ).astype(jnp.float32)
         m1 = jnp.zeros((window, d), jnp.float32)
         m2a = jnp.zeros((window, d), jnp.float32)
         for s in range(slots):
-            sl = slice(s * window, (s + 1) * window)
-            h_u = hu_all[sl, :d] * valid_all[sl]
-            m1 += h_u
-            m2a += hu_all[sl, d:] * h_u
+            onehot, _ = _slot_onehot(
+                h_ref, lanes_f, d + 4, s, slots, window
+            )
+            hu = jnp.dot(
+                onehot, h_ref[:, : d + 1], preferred_element_type=jnp.float32
+            )
+            m1 += hu[:, :d]
+            m2a += hu[:, d:] * hu[:, :d]
         h_win = h_ref[:, :d].astype(jnp.float32)
         eig_win = h_ref[:, d : d + 1].astype(jnp.float32)
         invd = h_ref[:, d + 1 : d + 2].astype(jnp.float32)
@@ -1307,8 +1375,7 @@ def dgn_local_layer_slots(
             dimension_semantics=("parallel",)
         ),
         in_specs=[
-            pl.BlockSpec((sw, 1), lambda w: (w, 0)),
-            pl.BlockSpec((window, d + 4), lambda w: (w, 0)),
+            pl.BlockSpec((window, ncols), lambda w: (w, 0)),
             *spill_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1316,13 +1383,13 @@ def dgn_local_layer_slots(
         out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
         out_shape=jax.ShapeDtypeStruct((num_windows * window, d), h.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * num_windows * (sw * window * d + window * 2 * d * d),
-            bytes_accessed=(num_windows * sw + 2 * num_windows * window)
-            * d * 4,
+            flops=2 * num_windows
+            * (slots * window * window * d + window * 2 * d * d),
+            bytes_accessed=2 * num_windows * window * d * 4,
             transcendentals=0,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(u_slot[:, None], hcat, *spill_ins, w_post, b_post)
+    )(hcat, *spill_ins, w_post, b_post)
     return out[:n]
 
 

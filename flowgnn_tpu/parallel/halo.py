@@ -241,7 +241,7 @@ def build_halo_batch(
             # table is built over s_rows+1 rows but the kernels grid over
             # h.shape[0] == s_rows.
             nw_shard = s_rows // window
-            keep = nw_shard * PALLAS_SLOTS * window
+            keep = nw_shard * window  # rows of the [NW·W, S] table
             slot_u, slot_sp, slot_mask = [], [], []
             for ei, s_ext, r_loc in per_chip:
                 us, sp, cnt = build_local_slots(
@@ -249,10 +249,10 @@ def build_halo_batch(
                     slots=PALLAS_SLOTS, spill_capacity=spill_cap,
                 )
                 assert (us[keep:] == window).all(), "trash window had slots"
-                slot_u.append(us[:keep])
+                slot_u.append(us[:keep])  # [NW·W, S] per-dest rows
                 slot_sp.append(sp)
                 slot_mask.append(np.arange(spill_cap) < cnt)
-            extras["slot_uslot"] = np.stack(slot_u)
+            extras["slot_src"] = np.stack(slot_u)
             extras["slot_spill"] = np.stack(slot_sp)
             extras["slot_spill_mask"] = np.stack(slot_mask)
             extras["slot_geom"] = np.zeros(

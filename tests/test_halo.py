@@ -163,7 +163,7 @@ def test_halo_local_kernels_equal_single(name, _interp, graphs16, reference_root
     packed = pack_graphs(tg, with_eigen=spec.needs_eigen, **caps)
     blocked = "local_slots" if name == "pna" else "local_ell"
     hb = build_halo_batch(packed, k=4, edge_slack=8.0, blocked=blocked)
-    key = "slot_uslot" if name == "pna" else "loc_ulocal"
+    key = "slot_src" if name == "pna" else "loc_ulocal"
     assert key in hb  # the local layout must actually be attached
     stacked = stack_halo_buckets([hb])
     mesh = make_mesh(data=1, edge=4)

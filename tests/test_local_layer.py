@@ -240,8 +240,8 @@ def test_pna_local_slots_equals_plain(graphs16, reference_root):
     # Guard against dead wiring: the slot arrays must actually feed the
     # computation — corrupting them has to change the output.
     corrupt = dict(sbatch)
-    corrupt["slot_uslot"] = np.where(
-        sbatch["slot_uslot"] < 512, 0, sbatch["slot_uslot"]
+    corrupt["slot_src"] = np.where(
+        sbatch["slot_src"] < 512, 0, sbatch["slot_src"]
     ).astype(np.int32)
     broken = spec.forward(jp, corrupt, FLOAT32)
     assert not np.allclose(np.asarray(broken)[:4], np.asarray(plain)[:4],
@@ -293,9 +293,14 @@ def test_gat_dgn_local_slots_equals_plain(name, graphs16, reference_root):
                     rtol=1e-5, atol=1e-5, msg=name)
     # Dead-wiring guard: corrupting the slot table must change the output.
     corrupt = dict(sbatch)
-    corrupt["slot_uslot"] = np.where(
-        sbatch["slot_uslot"] < 256, 0, sbatch["slot_uslot"]
+    corrupt["slot_src"] = np.where(
+        sbatch["slot_src"] < 256, 0, sbatch["slot_src"]
     ).astype(np.int32)
+    # GAT consumes the stacked float layout; corrupt it the same way so
+    # the guard bites whichever layout the model reads.
+    corrupt["slot_stack"] = np.where(
+        sbatch["slot_stack"] < 256, 0, sbatch["slot_stack"]
+    ).astype(sbatch["slot_stack"].dtype)
     broken = spec.forward(jp, corrupt, FLOAT32)
     assert not np.allclose(np.asarray(broken)[:4], np.asarray(plain)[:4],
                            rtol=1e-5, atol=1e-5)
