@@ -280,6 +280,28 @@ def _local_scatter_apply_ell_wps(
     return out[: num_windows * window]
 
 
+def _ell_meta(u_local, v_local, edge_attr, window: int, dtype):
+    """Pack the per-lane edge metadata into ONE small-float array
+    [P, 2 or 5]: (uloc−half, vloc−half, attr…). A [P, 1]-blocked int32
+    index input is DMA-padded to full (8,128) tiles — a measured ~128x
+    traffic inflation; one packed bf16 array costs the same tiles as a
+    single column at HALF the int32 tile size, cutting the kernels'
+    dominant input traffic ~6x (GIN geometry). Indices are recentered by
+    window//2 so bf16 stays exact through W=512 (|int| ≤ 256); wider
+    windows fall back to f32 (still 3 arrays → 1). The pack is
+    loop-invariant — XLA hoists it out of the pass loop."""
+    half = window // 2 if window <= 512 else 0
+    mdt = jnp.bfloat16 if window <= 512 else jnp.float32
+    cols = [u_local[:, None] - half, v_local[:, None] - half]
+    if edge_attr is not None:
+        cols.append(edge_attr)
+    return (
+        jnp.concatenate(cols, axis=1).astype(mdt),
+        half,
+        mdt == jnp.float32,
+    )
+
+
 def local_scatter_apply_ell(
     ee: jnp.ndarray,  # [NW·K·B, D]
     u_local: jnp.ndarray,  # [NW·K·B]
@@ -304,7 +326,9 @@ def local_scatter_apply_ell(
     num_windows = h.shape[0] // window
     block = p // (num_windows * k_blocks)
 
-    def kernel(uloc_ref, vloc_ref, ee_ref, h_ref, spill_ref, *rest):
+    meta, half, _ = _ell_meta(u_local, v_local, None, window, h.dtype)
+
+    def kernel(meta_ref, ee_ref, h_ref, spill_ref, *rest):
         out_ref, acc_ref = rest[-2], rest[-1]
         extra_refs = rest[:-2]
         k = pl.program_id(1)
@@ -313,13 +337,16 @@ def local_scatter_apply_ell(
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
-        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, window), 1
+        ).astype(jnp.float32) - float(half)
+        mf = meta_ref[:].astype(jnp.float32)
+        onehot_u = (mf[:, 0:1] == lanes).astype(h_ref.dtype)
         h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
         msg = jnp.maximum(h_u + ee_ref[:].astype(jnp.float32), 0).astype(
             h_ref.dtype
         )
-        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        onehot_v = (mf[:, 1:2] == lanes).astype(h_ref.dtype)
         acc_ref[:] += jax.lax.dot_general(
             onehot_v, msg,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -337,8 +364,7 @@ def local_scatter_apply_ell(
         grid=(num_windows, k_blocks),
         compiler_params=_ELL_PARAMS,
         in_specs=[
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 2), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((block, d), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((window, d), lambda w, k: (w, 0)),
             pl.BlockSpec((window, d), lambda w, k: (w, 0)),
@@ -353,7 +379,7 @@ def local_scatter_apply_ell(
             transcendentals=0,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(u_local[:, None], v_local[:, None], ee, h, m_spill, *extras)
+    )(meta, ee, h, m_spill, *extras)
 
 
 def local_scatter_apply_ell_attr(
@@ -385,8 +411,9 @@ def local_scatter_apply_ell_attr(
     num_windows = h.shape[0] // window
     block = p // (num_windows * k_blocks)
     vocab = ee_table.shape[0]
+    meta, half, mf32 = _ell_meta(u_local, v_local, edge_attr, window, h.dtype)
 
-    def kernel(attr_ref, uloc_ref, vloc_ref, ee_tab_ref, h_ref, spill_ref, *rest):
+    def kernel(meta_ref, ee_tab_ref, h_ref, spill_ref, *rest):
         out_ref, acc_ref = rest[-2], rest[-1]
         extra_refs = rest[:-2]
         k = pl.program_id(1)
@@ -395,20 +422,25 @@ def local_scatter_apply_ell_attr(
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
-        vlanes = jax.lax.broadcasted_iota(jnp.int32, (block, vocab), 1)
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, window), 1
+        ).astype(jnp.float32) - float(half)
+        vlanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, vocab), 1
+        ).astype(jnp.float32)
+        mf = meta_ref[:].astype(jnp.float32)
         multihot = (
-            (attr_ref[:, 0][:, None] == vlanes).astype(h_ref.dtype)
-            + (attr_ref[:, 1][:, None] == vlanes).astype(h_ref.dtype)
-            + (attr_ref[:, 2][:, None] == vlanes).astype(h_ref.dtype)
+            (mf[:, 2:3] == vlanes).astype(h_ref.dtype)
+            + (mf[:, 3:4] == vlanes).astype(h_ref.dtype)
+            + (mf[:, 4:5] == vlanes).astype(h_ref.dtype)
         )
         ee = jnp.dot(
             multihot, ee_tab_ref[:], preferred_element_type=jnp.float32
         )
-        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        onehot_u = (mf[:, 0:1] == lanes).astype(h_ref.dtype)
         h_u = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
         msg = jnp.maximum(h_u + ee, 0).astype(h_ref.dtype)
-        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        onehot_v = (mf[:, 1:2] == lanes).astype(h_ref.dtype)
         acc_ref[:] += jax.lax.dot_general(
             onehot_v, msg,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -426,9 +458,7 @@ def local_scatter_apply_ell_attr(
         grid=(num_windows, k_blocks),
         compiler_params=_ELL_PARAMS,
         in_specs=[
-            pl.BlockSpec((block, 3), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 5), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((window, d), lambda w, k: (w, 0)),
             pl.BlockSpec((window, d), lambda w, k: (w, 0)),
@@ -443,8 +473,7 @@ def local_scatter_apply_ell_attr(
             transcendentals=0,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(edge_attr, u_local[:, None], v_local[:, None], ee_table, h, m_spill,
-      *extras)
+    )(meta, ee_table, h, m_spill, *extras)
 
 
 def gin_local_layer_ell(
@@ -523,23 +552,30 @@ def gcn_local_message_ell(
     block = p // (num_windows * k_blocks)
     vocab = ee_table.shape[0]
 
-    def kernel(attr_ref, uloc_ref, vloc_ref, tab_ref, h_ref, out_ref, acc_ref):
+    meta, half, _ = _ell_meta(u_local, v_local, edge_attr, window, h.dtype)
+
+    def kernel(meta_ref, tab_ref, h_ref, out_ref, acc_ref):
         k = pl.program_id(1)
 
         @pl.when(k == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
-        vlanes = jax.lax.broadcasted_iota(jnp.int32, (block, vocab), 1)
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, window), 1
+        ).astype(jnp.float32) - float(half)
+        vlanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, vocab), 1
+        ).astype(jnp.float32)
+        mf = meta_ref[:].astype(jnp.float32)
         multihot = (
-            (attr_ref[:, 0][:, None] == vlanes).astype(h_ref.dtype)
-            + (attr_ref[:, 1][:, None] == vlanes).astype(h_ref.dtype)
-            + (attr_ref[:, 2][:, None] == vlanes).astype(h_ref.dtype)
+            (mf[:, 2:3] == vlanes).astype(h_ref.dtype)
+            + (mf[:, 3:4] == vlanes).astype(h_ref.dtype)
+            + (mf[:, 4:5] == vlanes).astype(h_ref.dtype)
         )
         ee = jnp.dot(multihot, tab_ref[:], preferred_element_type=jnp.float32)
-        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
-        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        onehot_u = (mf[:, 0:1] == lanes).astype(h_ref.dtype)
+        onehot_v = (mf[:, 1:2] == lanes).astype(h_ref.dtype)
         hu_all = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
         h_u, dis_u = hu_all[:, :d], hu_all[:, d:]
         msg = (dis_u * jnp.maximum(h_u + ee, 0)).astype(h_ref.dtype)
@@ -559,9 +595,7 @@ def gcn_local_message_ell(
         grid=(num_windows, k_blocks),
         compiler_params=_ELL_PARAMS,
         in_specs=[
-            pl.BlockSpec((block, 3), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 5), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((window, d + 1), lambda w, k: (w, 0)),
         ],
@@ -569,7 +603,7 @@ def gcn_local_message_ell(
         scratch_shapes=[pltpu.VMEM((window, d), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((num_windows * window, d), h.dtype),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(edge_attr, u_local[:, None], v_local[:, None], ee_table, hcat)
+    )(meta, ee_table, hcat)
     return out[:n]
 
 
@@ -611,7 +645,9 @@ def gcn_local_layer_ell(
     final = w_next is None
     extras = (root, alpha, beta) if final else (root, alpha, beta, w_next, b_next)
 
-    def kernel(attr_ref, uloc_ref, vloc_ref, tab_ref, h_ref, *rest):
+    meta, half, _ = _ell_meta(u_local, v_local, edge_attr, window, h.dtype)
+
+    def kernel(meta_ref, tab_ref, h_ref, *rest):
         out_ref, acc_ref = rest[-2], rest[-1]
         if final:
             root_ref, alpha_ref, beta_ref = rest[:3]
@@ -623,16 +659,21 @@ def gcn_local_layer_ell(
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
-        vlanes = jax.lax.broadcasted_iota(jnp.int32, (block, vocab), 1)
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, window), 1
+        ).astype(jnp.float32) - float(half)
+        vlanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, vocab), 1
+        ).astype(jnp.float32)
+        mf = meta_ref[:].astype(jnp.float32)
         multihot = (
-            (attr_ref[:, 0][:, None] == vlanes).astype(h_ref.dtype)
-            + (attr_ref[:, 1][:, None] == vlanes).astype(h_ref.dtype)
-            + (attr_ref[:, 2][:, None] == vlanes).astype(h_ref.dtype)
+            (mf[:, 2:3] == vlanes).astype(h_ref.dtype)
+            + (mf[:, 3:4] == vlanes).astype(h_ref.dtype)
+            + (mf[:, 4:5] == vlanes).astype(h_ref.dtype)
         )
         ee = jnp.dot(multihot, tab_ref[:], preferred_element_type=jnp.float32)
-        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
-        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        onehot_u = (mf[:, 0:1] == lanes).astype(h_ref.dtype)
+        onehot_v = (mf[:, 1:2] == lanes).astype(h_ref.dtype)
         hu_all = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
         h_u, dis_u = hu_all[:, :d], hu_all[:, d:]
         msg = (dis_u * jnp.maximum(h_u + ee, 0)).astype(h_ref.dtype)
@@ -669,9 +710,7 @@ def gcn_local_layer_ell(
         grid=(num_windows, k_blocks),
         compiler_params=_ELL_PARAMS,
         in_specs=[
-            pl.BlockSpec((block, 3), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 5), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((window, d + 1), lambda w, k: (w, 0)),
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in extras],
@@ -686,7 +725,7 @@ def gcn_local_layer_ell(
             transcendentals=0,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(edge_attr, u_local[:, None], v_local[:, None], ee_table, hcat, *extras)
+    )(meta, ee_table, hcat, *extras)
     return out[:n]
 
 
@@ -716,16 +755,21 @@ def dgn_local_message_ell(
     p = u_local.shape[0]
     block = p // (num_windows * k_blocks)
 
-    def kernel(uloc_ref, vloc_ref, h_ref, out_ref, acc_ref):
+    meta, half, _ = _ell_meta(u_local, v_local, None, window, h.dtype)
+
+    def kernel(meta_ref, h_ref, out_ref, acc_ref):
         k = pl.program_id(1)
 
         @pl.when(k == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
-        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
-        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, window), 1
+        ).astype(jnp.float32) - float(half)
+        mf = meta_ref[:].astype(jnp.float32)
+        onehot_u = (mf[:, 0:1] == lanes).astype(h_ref.dtype)
+        onehot_v = (mf[:, 1:2] == lanes).astype(h_ref.dtype)
         hu_all = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
         h_u, eig_u = hu_all[:, :d], hu_all[:, d:]
         both = jnp.concatenate([h_u, eig_u * h_u], axis=1).astype(h_ref.dtype)
@@ -747,15 +791,14 @@ def dgn_local_message_ell(
         grid=(num_windows, k_blocks),
         compiler_params=_ELL_PARAMS,
         in_specs=[
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 2), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((window, d + 1), lambda w, k: (w, 0)),
         ],
         out_specs=pl.BlockSpec((window, 2 * d), lambda w, k: (w, 0)),
         scratch_shapes=[pltpu.VMEM((window, 2 * d), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((num_windows * window, 2 * d), h.dtype),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(u_local[:, None], v_local[:, None], hcat)
+    )(meta, hcat)
     return out[:n, :d], out[:n, d:]
 
 
@@ -801,11 +844,13 @@ def gat_local_message_ell(
     block = p // (num_windows * k_blocks)
     out_dim = hd + num_heads
 
+    meta, half, _ = _ell_meta(u_local, v_local, None, window, h.dtype)
+
     def kernel(*refs):
         if use_raw:
-            uloc_ref, vloc_ref, raw_ref, h_ref = refs[:4]
+            meta_ref, raw_ref, h_ref = refs[:3]
         else:
-            uloc_ref, vloc_ref, h_ref, ssrc_ref = refs[:4]
+            meta_ref, h_ref, ssrc_ref = refs[:3]
         out_ref, acc_ref = refs[-2], refs[-1]
         k = pl.program_id(1)
 
@@ -813,9 +858,12 @@ def gat_local_message_ell(
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
-        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
-        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, window), 1
+        ).astype(jnp.float32) - float(half)
+        mf = meta_ref[:].astype(jnp.float32)
+        onehot_u = (mf[:, 0:1] == lanes).astype(h_ref.dtype)
+        onehot_v = (mf[:, 1:2] == lanes).astype(h_ref.dtype)
         hu_all = jnp.dot(onehot_u, h_ref[:], preferred_element_type=jnp.float32)
         if use_raw:
             h_u = hu_all
@@ -829,7 +877,7 @@ def gat_local_message_ell(
         score = jnp.exp(jnp.where(raw_k < 0, raw_k * 0.2, raw_k))
         # Sentinel lanes have all-zero one-hots → raw = 0 → score = 1; mask
         # them out so they don't pollute the denominators.
-        valid = (vloc_ref[:, 0] < window)[:, None].astype(jnp.float32)
+        valid = (mf[:, 1:2] < float(window) - half).astype(jnp.float32)
         score = score * valid
         # Per-head broadcast score [B, H] → [B, H·D] via a constant 0/1
         # expansion matrix on the MXU (element-repeat reshapes are awkward
@@ -854,20 +902,18 @@ def gat_local_message_ell(
     lane = lambda w, k: (w * k_blocks + k, 0)  # noqa: E731
     if use_raw:
         in_specs = [
-            pl.BlockSpec((block, 1), lane),
-            pl.BlockSpec((block, 1), lane),
+            pl.BlockSpec((block, 2), lane),
             pl.BlockSpec((block, num_heads), lane),
             pl.BlockSpec((window, hd), lambda w, k: (w, 0)),
         ]
-        ins = (u_local[:, None], v_local[:, None], raw, hcat)
+        ins = (meta, raw, hcat)
     else:
         in_specs = [
-            pl.BlockSpec((block, 1), lane),
-            pl.BlockSpec((block, 1), lane),
+            pl.BlockSpec((block, 2), lane),
             pl.BlockSpec((window, hd + num_heads), lambda w, k: (w, 0)),
             pl.BlockSpec((window, num_heads), lambda w, k: (w, 0)),
         ]
-        ins = (u_local[:, None], v_local[:, None], hcat, s_src)
+        ins = (meta, hcat, s_src)
     out = pl.pallas_call(
         kernel,
         grid=(num_windows, k_blocks),
@@ -914,16 +960,21 @@ def dgn_local_layer_ell(
     p = u_local.shape[0]
     block = p // (num_windows * k_blocks)
 
-    def kernel(uloc_ref, vloc_ref, h_ref, wpost_ref, b_ref, out_ref, acc_ref):
+    meta, half, _ = _ell_meta(u_local, v_local, None, window, h.dtype)
+
+    def kernel(meta_ref, h_ref, wpost_ref, b_ref, out_ref, acc_ref):
         k = pl.program_id(1)
 
         @pl.when(k == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
-        onehot_u = (uloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
-        onehot_v = (vloc_ref[:, 0][:, None] == lanes).astype(h_ref.dtype)
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, window), 1
+        ).astype(jnp.float32) - float(half)
+        mf = meta_ref[:].astype(jnp.float32)
+        onehot_u = (mf[:, 0:1] == lanes).astype(h_ref.dtype)
+        onehot_v = (mf[:, 1:2] == lanes).astype(h_ref.dtype)
         hu_all = jnp.dot(
             onehot_u, h_ref[:, : d + 1], preferred_element_type=jnp.float32
         )
@@ -957,8 +1008,7 @@ def dgn_local_layer_ell(
         grid=(num_windows, k_blocks),
         compiler_params=_ELL_PARAMS,
         in_specs=[
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
-            pl.BlockSpec((block, 1), lambda w, k: (w * k_blocks + k, 0)),
+            pl.BlockSpec((block, 2), lambda w, k: (w * k_blocks + k, 0)),
             pl.BlockSpec((window, d + 4), lambda w, k: (w, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -973,7 +1023,7 @@ def dgn_local_layer_ell(
             transcendentals=0,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(u_local[:, None], v_local[:, None], hcat, w_post, b_post)
+    )(meta, hcat, w_post, b_post)
     return out[:n]
 
 
