@@ -110,7 +110,41 @@ def forward(
 
     inter = [h]
     out_feat = None
-    for l in range(L):
+    if slots_mode and not has_spill and not return_intermediates:
+        # Whole-model megakernel: all L layers + glue in ONE pallas call
+        # (gat_local_model_slots) — the slot one-hot gather is built once
+        # and reused per layer, and no inter-layer tensor touches HBM.
+        from ..ops.pallas.local_layer import gat_local_model_slots
+
+        hd = H * D
+        cdt = prec.compute_dtype
+        skip_w = (
+            params["skip_w"].reshape(L, hd, hd).transpose(0, 2, 1)
+            .reshape(L * hd, hd).astype(cdt)
+        )
+        proj_w = (
+            params["proj_w"][1:].reshape(L - 1, hd, hd).transpose(0, 2, 1)
+            .reshape((L - 1) * hd, hd).astype(cdt)
+        )
+        eye = jnp.eye(H, dtype=cdt)
+
+        def _amat(a):  # [L-1, H, D] → [(L-1)·HD, H]
+            return (a[:, :, :, None] * eye[None, :, None, :]).reshape(
+                (L - 1) * hd, H
+            ).astype(cdt)
+
+        a_next = jnp.concatenate(
+            [_amat(params["a_src"][1:]), _amat(params["a_tgt"][1:])], axis=1
+        )
+        out_feat = prec.q(
+            gat_local_model_slots(
+                batch["slot_stack"], h.reshape(n, H * D),
+                prev.reshape(n, H * D),
+                jnp.concatenate([s_src, s_tgt], axis=1),
+                skip_w, proj_w, a_next, window, n_slots, H, L,
+            )
+        )
+    for l in range(L if out_feat is None else 0):
         if slots_mode:
             from ..ops.pallas.local_layer import gat_local_message_slots
 

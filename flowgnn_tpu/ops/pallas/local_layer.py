@@ -1339,6 +1339,154 @@ def gat_local_message_slots(
     return out[:n]
 
 
+def gat_local_model_slots(
+    slot_stack: jnp.ndarray,  # [NW·S·W] stacked dest-major sources, FLOAT dtype
+    h0: jnp.ndarray,  # [n, H·D] layer-0 projected features, head-major flat
+    prev0: jnp.ndarray,  # [n, H·D] raw-feature prev (head-0 slots)
+    s0: jnp.ndarray,  # [n, 2H] layer-0 (s_src ‖ s_tgt)
+    skip_w: jnp.ndarray,  # [L·HD, HD] right-mul skip weights, layer-major rows
+    proj_w: jnp.ndarray,  # [(L-1)·HD, HD] right-mul projections, layers 1..L-1
+    a_next: jnp.ndarray,  # [(L-1)·HD, 2H] score maps (a_src ‖ a_tgt), layers 1..L-1
+    window: int,
+    slots: int,
+    num_heads: int,
+    num_layers: int,
+) -> jnp.ndarray:
+    """The ENTIRE GAT stack (all L layers + glue) in ONE pallas call.
+
+    Window-aligned packing keeps every edge in-window, so a window's whole
+    forward pass is independent of every other window: one grid step runs
+    all L attention layers for its window with h/prev/scores living in
+    VMEM/registers throughout. Per pass this removes (L-1) pallas call
+    floors (~60-70 µs each on the relay), (L-1)× the [S·W, 1] slot-index
+    DMA (the single largest input — the one-hot gather matrix is built
+    ONCE and reused by every layer, since graph topology does not change
+    between layers), and every inter-layer [n, H·D] HBM round trip
+    (msg/skip/feat/h/scores — the XLA glue). Message math is identical to
+    gat_local_message_slots (raw-exp softmax, in-kernel divide,
+    GAT/src/message_passing.cc:122-148); glue math mirrors models/gat.py's
+    per-layer path (skip-proj + ELU ≙ GAT/src/node_embedding.cc:156-196,
+    next-layer projection + scores ≙ node_embedding.cc:230-268, final
+    head-average ≙ finalize.cc:90-110). Returns [n, D] head-averaged
+    final features ready for mean-pool.
+
+    No-spill only (caller falls back to the per-layer path when the batch
+    has window-crossing edges, where per-layer spill terms must merge
+    before the softmax divide).
+    """
+    n, hd = h0.shape
+    d = hd // num_heads
+    nh = num_heads
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    if pad:
+        h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+        prev0 = jnp.pad(prev0, ((0, pad), (0, 0)))
+        s0 = jnp.pad(s0, ((0, pad), (0, 0)))
+    cdt = h0.dtype
+    xcat = jnp.concatenate(
+        [h0, prev0, s0.astype(cdt)], axis=1
+    )  # [NW·W, 2HD+2H]
+    sw = slots * window
+
+    def kernel(uslot_ref, x_ref, skip_ref, proj_ref, a_ref, out_ref):
+        uslot = uslot_ref[:, 0].astype(jnp.float32)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1).astype(
+            jnp.float32
+        )
+        onehot = (uslot[:, None] == lanes).astype(cdt)  # built once, used L×
+        valid_all = (uslot < float(window))[:, None].astype(jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 1) // d
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 0)
+        expand = (cols == rows).astype(jnp.float32)
+        # head-average map [HD, D]: rows h·D+k → col k, scaled 1/H.
+        hrow = jax.lax.broadcasted_iota(jnp.int32, (hd, d), 0) % d
+        hcol = jax.lax.broadcasted_iota(jnp.int32, (hd, d), 1)
+        havg = (hrow == hcol).astype(jnp.float32) / float(nh)
+
+        h = x_ref[:, :hd]  # [W, HD] compute dtype
+        prev = x_ref[:, hd : 2 * hd]
+        s_src = x_ref[:, 2 * hd : 2 * hd + nh].astype(jnp.float32)
+        s_tgt = x_ref[:, 2 * hd + nh :]
+        for l in range(num_layers):
+            hcat = jnp.concatenate([h, s_tgt.astype(cdt)], axis=1)
+            hu_all = jnp.dot(
+                onehot, hcat, preferred_element_type=jnp.float32
+            )  # [S·W, HD+H]
+            num = jnp.zeros((window, hd), jnp.float32)
+            den = jnp.zeros((window, nh), jnp.float32)
+            for s in range(slots):
+                sl = slice(s * window, (s + 1) * window)
+                h_u = hu_all[sl, :hd]
+                s2 = hu_all[sl, hd:]
+                raw = s_src + s2
+                score = (
+                    jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+                    * valid_all[sl]
+                )
+                num += jnp.dot(
+                    score, expand, preferred_element_type=jnp.float32
+                ) * h_u
+                den += score
+            den = jnp.where(den == 0, 1.0, den)
+            msg = num / jnp.dot(den, expand, preferred_element_type=jnp.float32)
+            msg = msg.astype(cdt).astype(jnp.float32)  # ≙ prec.q(msg)
+            skip = jnp.dot(
+                prev,
+                skip_ref[l * hd : (l + 1) * hd, :],
+                preferred_element_type=jnp.float32,
+            )
+            if l != num_layers - 1:
+                feat = msg + skip
+                feat = jnp.where(
+                    feat <= 0, jnp.exp(feat) - 1, feat
+                ).astype(cdt)  # ELU, ≙ prec.q(feat)
+                prev = feat
+                h = jnp.dot(
+                    feat,
+                    proj_ref[l * hd : (l + 1) * hd, :],
+                    preferred_element_type=jnp.float32,
+                ).astype(cdt)
+                scat = jnp.dot(
+                    h, a_ref[l * hd : (l + 1) * hd, :],
+                    preferred_element_type=jnp.float32,
+                )  # [W, 2H]
+                s_src = scat[:, :nh].astype(cdt).astype(jnp.float32)
+                s_tgt = scat[:, nh:].astype(cdt)
+            else:
+                out_ref[:] = jnp.dot(
+                    msg + skip, havg, preferred_element_type=jnp.float32
+                ).astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((sw, 1), lambda w: (w, 0)),
+            pl.BlockSpec((window, 2 * hd + 2 * nh), lambda w: (w, 0)),
+            pl.BlockSpec(skip_w.shape, lambda w: (0, 0)),
+            pl.BlockSpec(proj_w.shape, lambda w: (0, 0)),
+            pl.BlockSpec(a_next.shape, lambda w: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), cdt),
+        cost_estimate=pl.CostEstimate(
+            flops=2
+            * num_windows
+            * num_layers
+            * (sw * window * (hd + nh) + 2 * window * hd * hd),
+            bytes_accessed=num_windows
+            * (sw + window * (2 * hd + 2 * nh) * 4),
+            transcendentals=num_layers * num_windows * sw * nh,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(slot_stack[:, None], xcat, skip_w, proj_w, a_next)
+    return out[:n]
+
+
 def dgn_local_layer_slots(
     slot_src: jnp.ndarray,  # [NW·W, S] per-dest in-edge sources (sentinel=window)
     h: jnp.ndarray,  # [n, D]
