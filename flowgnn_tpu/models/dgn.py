@@ -94,6 +94,29 @@ def forward(
 
     h = _atom_embed_dgn(params["atom_tables"], batch["node_feat"], prec)
     inter = [h]
+    if slots_mode and not has_spill and not return_intermediates:
+        # Whole-model megakernel: all L conv layers in ONE pallas call
+        # (ops/pallas/local_layer.py:dgn_local_model) — slot one-hot and
+        # eig_u gathers built once, h resident in VMEM across layers.
+        from ..ops.pallas.local_layer import dgn_local_model
+
+        dim = params["posttrans_w"].shape[1]
+        w_all = jnp.concatenate(
+            [
+                params["posttrans_w"][l].reshape(dim, -1).T
+                for l in range(L)
+            ],
+            axis=0,
+        )
+        h = prec.q(
+            dgn_local_model(
+                batch["slot_src"], h, eig,
+                (1.0 / deg)[:, 0], eigw_sum, 1.0 / eig_abssum,
+                w_all, params["posttrans_b"],
+                window, n_slots, L,
+            )
+        )
+        L = 0  # conv stack done; fall through to readout
     for l in range(L):
         if slots_mode:
             from ..ops.pallas.local_layer import dgn_local_layer_slots

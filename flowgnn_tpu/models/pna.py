@@ -70,6 +70,36 @@ def forward(
 
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     inter = [h]
+    if slots and not batch["slot_spill"].shape[-1] and not return_intermediates:
+        # Whole-model megakernel: all L conv layers in ONE pallas call
+        # (ops/pallas/local_layer.py:pna_local_model) — slot one-hot
+        # gathers built once, h resident in VMEM across layers.
+        from ..ops.pallas.local_layer import pna_local_model
+
+        window, n_slots = batch["slot_geom"].shape[-2:]
+        d_out = params["conv_w"].shape[1]
+        w_all = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [
+                        params["conv_w"][l, :, i].reshape(d_out, -1).T
+                        for i in range(3)
+                    ],
+                    axis=1,
+                )
+                for l in range(L)
+            ],
+            axis=0,
+        )
+        h = prec.q(
+            pna_local_model(
+                batch["slot_src"], h,
+                (1.0 / in_deg)[:, 0], t[:, 0], scale[:, 0],
+                w_all, params["conv_b"],
+                int(window), int(n_slots), L, MAX_INIT, MIN_INIT,
+            )
+        )
+        L = 0  # conv stack done; fall through to readout
     for l in range(L):
         d = h.shape[1]
         if slots and not has_spill:

@@ -1239,6 +1239,114 @@ def pna_local_layer(
     return out[:n]
 
 
+def pna_local_model(
+    slot_src: jnp.ndarray,  # [NW·W, S] per-dest in-edge sources (sentinel=window)
+    h0: jnp.ndarray,  # [n, D] embedded input features
+    inv_deg: jnp.ndarray,  # [n] 1/max(in_degree, 1)
+    t: jnp.ndarray,  # [n] log(out_deg+1)/avg_deg scaler
+    scale: jnp.ndarray,  # [n] avg_deg/log(out_deg+1) scaler
+    w_all: jnp.ndarray,  # [L·4D, 3D] per-layer [w_noneᵀ ‖ w_tᵀ ‖ w_scaleᵀ]
+    b_all: jnp.ndarray,  # [L, D]
+    window: int,
+    slots: int,
+    num_layers: int,
+    min_init: float,
+    max_init: float,
+) -> jnp.ndarray:
+    """The ENTIRE PNA conv stack (all L layers) in ONE pallas call.
+
+    Window-aligned packing keeps every edge in-window, so one grid step
+    runs all L layers for its window with h resident in VMEM throughout:
+    the slot one-hot gather matrices are built once and reused per layer
+    (topology is layer-invariant), the feature/aux/slot tile is DMA'd once
+    instead of L×, and no inter-layer h touches HBM. Layer math is
+    identical to pna_local_layer (4 running aggregates ≙
+    PNA/src/message_passing.cc:121-147; mean/std + scaler tower + residual
+    ≙ PNA/src/node_embedding.cc:123-214). Returns final h [n, D]; readout
+    stays outside. No-spill only (caller falls back per layer otherwise).
+    """
+    n, d = h0.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h0, ((0, pad), (0, 0))) if pad else h0
+    aux = jnp.stack([inv_deg, t, scale], axis=1).astype(hp.dtype)  # [n, 3]
+    aux = jnp.pad(aux, ((0, pad), (0, 0))) if pad else aux
+    hcat = jnp.concatenate(
+        [hp, aux, _slot_cols(slot_src, window, hp.dtype)], axis=1
+    )
+    ncols = d + 3 + _slot_ncols(window, slots)
+    cdt = h0.dtype
+
+    def kernel(x_ref, w_ref, b_ref, out_ref):
+        lanes_f = jax.lax.broadcasted_iota(
+            jnp.int32, (window, window), 1
+        ).astype(jnp.float32)
+        onehots = [
+            _slot_onehot(x_ref, lanes_f, d + 3, s, slots, window)
+            for s in range(slots)
+        ]  # built once, reused by every layer
+        invd = x_ref[:, d : d + 1].astype(jnp.float32)
+        t_w = x_ref[:, d + 1 : d + 2].astype(jnp.float32)
+        sc_w = x_ref[:, d + 2 : d + 3].astype(jnp.float32)
+        h = x_ref[:, :d]
+        for l in range(num_layers):
+            acc_s = jnp.zeros((window, d), jnp.float32)
+            acc_q = jnp.zeros((window, d), jnp.float32)
+            acc_mn = jnp.full((window, d), min_init, jnp.float32)
+            acc_mx = jnp.full((window, d), max_init, jnp.float32)
+            for s in range(slots):
+                onehot, valid = onehots[s]
+                h_u = jnp.dot(onehot, h, preferred_element_type=jnp.float32)
+                acc_s += h_u
+                acc_q += h_u * h_u
+                acc_mn = jnp.minimum(
+                    acc_mn, jnp.where(valid > 0, h_u, min_init)
+                )
+                acc_mx = jnp.maximum(
+                    acc_mx, jnp.where(valid > 0, h_u, max_init)
+                )
+            mean = acc_s * invd
+            std = jnp.sqrt(jnp.maximum(acc_q * invd - mean * mean, 0.0))
+            stats = jnp.concatenate(
+                [mean, acc_mn, acc_mx, std], axis=1
+            ).astype(cdt)
+            y = jnp.dot(
+                stats,
+                w_ref[l * 4 * d : (l + 1) * 4 * d, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = (
+                y[:, :d] + t_w * y[:, d : 2 * d] + sc_w * y[:, 2 * d :]
+                + b_ref[l : l + 1, :].astype(jnp.float32)
+            )
+            h32 = h.astype(jnp.float32)
+            h = (h32 + jnp.maximum(acc, 0.0)).astype(cdt)
+        out_ref[:] = h
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((window, ncols), lambda w: (w, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), cdt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_windows * num_layers
+            * (slots * window * window * d + window * 4 * d * 3 * d),
+            bytes_accessed=2 * num_windows * window * d * 4,
+            transcendentals=num_layers * num_windows * window * d,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(hcat, w_all, b_all)
+    return out[:n]
+
+
 def gat_local_message_slots(
     slot_stack: jnp.ndarray,  # [NW·S·W] stacked dest-major sources, FLOAT dtype
     h: jnp.ndarray,  # [n, H·D] projected features, head-major flat
@@ -1588,6 +1696,109 @@ def dgn_local_layer_slots(
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
     )(hcat, *spill_ins, w_post, b_post)
+    return out[:n]
+
+
+def dgn_local_model(
+    slot_src: jnp.ndarray,  # [NW·W, S] per-dest in-edge sources (sentinel=window)
+    h0: jnp.ndarray,  # [n, D] embedded input features
+    eig: jnp.ndarray,  # [n]
+    inv_deg: jnp.ndarray,  # [n] 1/max(out_degree, 1)
+    eigw_sum: jnp.ndarray,  # [n]
+    inv_abssum: jnp.ndarray,  # [n] 1/eig_abssum (eps-guarded)
+    w_all: jnp.ndarray,  # [L·2D, D] per-layer posttrans (right-mul rows)
+    b_all: jnp.ndarray,  # [L, D]
+    window: int,
+    slots: int,
+    num_layers: int,
+) -> jnp.ndarray:
+    """The ENTIRE DGN conv stack (all L layers) in ONE pallas call.
+
+    Same megakernel pattern as pna_local_model: one grid step runs all L
+    layers for its window — slot one-hot gathers and the per-slot eig_u
+    gathers are built once (topology and eigenvectors are layer-invariant),
+    h stays in VMEM across layers, the feature/aux/slot tile is DMA'd once
+    instead of L×. Layer math ≡ dgn_local_layer_slots (two-channel sums
+    with m2 factored as Σ eig_u·h_u − eig_v·m1 ≙
+    DGN/src/message_passing.cc:120-153; mean + directional-derivative
+    normalisation, posttrans, residual ≙ DGN/src/node_embedding.cc:107-160).
+    Returns final h [n, D]. No-spill only.
+    """
+    n, d = h0.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h0, ((0, pad), (0, 0))) if pad else h0
+    aux = jnp.stack([eig, inv_deg, eigw_sum, inv_abssum], axis=1).astype(
+        hp.dtype
+    )
+    aux = jnp.pad(aux, ((0, pad), (0, 0))) if pad else aux
+    hcat = jnp.concatenate(
+        [hp, aux, _slot_cols(slot_src, window, hp.dtype)], axis=1
+    )
+    ncols = d + 4 + _slot_ncols(window, slots)
+    cdt = h0.dtype
+
+    def kernel(x_ref, w_ref, b_ref, out_ref):
+        lanes_f = jax.lax.broadcasted_iota(
+            jnp.int32, (window, window), 1
+        ).astype(jnp.float32)
+        onehots = [
+            _slot_onehot(x_ref, lanes_f, d + 4, s, slots, window)[0]
+            for s in range(slots)
+        ]
+        eig_col = x_ref[:, d : d + 1]
+        e_u = [
+            jnp.dot(oh, eig_col, preferred_element_type=jnp.float32)
+            for oh in onehots
+        ]  # layer-invariant per-slot eig_u
+        eig_win = eig_col.astype(jnp.float32)
+        invd = x_ref[:, d + 1 : d + 2].astype(jnp.float32)
+        ews = x_ref[:, d + 2 : d + 3].astype(jnp.float32)
+        inva = x_ref[:, d + 3 : d + 4].astype(jnp.float32)
+        h = x_ref[:, :d]
+        for l in range(num_layers):
+            m1 = jnp.zeros((window, d), jnp.float32)
+            m2a = jnp.zeros((window, d), jnp.float32)
+            for s in range(slots):
+                hu = jnp.dot(
+                    onehots[s], h, preferred_element_type=jnp.float32
+                )
+                m1 += hu
+                m2a += e_u[s] * hu
+            h_win = h.astype(jnp.float32)
+            m2 = m2a - eig_win * m1
+            a1 = m1 * invd
+            a2 = jnp.abs(m2 - ews * h_win) * inva
+            a = jnp.concatenate([a1, a2], axis=1).astype(cdt)
+            acc = jnp.dot(
+                a,
+                w_ref[l * 2 * d : (l + 1) * 2 * d, :],
+                preferred_element_type=jnp.float32,
+            ) + b_ref[l : l + 1, :].astype(jnp.float32)
+            h = (h_win + jnp.maximum(acc, 0.0)).astype(cdt)
+        out_ref[:] = h
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((window, ncols), lambda w: (w, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), cdt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_windows * num_layers
+            * (slots * window * window * d + window * 2 * d * d),
+            bytes_accessed=2 * num_windows * window * d * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(hcat, w_all, b_all)
     return out[:n]
 
 
