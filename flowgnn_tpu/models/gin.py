@@ -75,6 +75,34 @@ def forward(
         from ..core.features import BOND_FEATURE_OFFSETS
 
         attr_off = batch["edge_attr"] + jnp.asarray(BOND_FEATURE_OFFSETS)[None, :]
+    if ell and not return_intermediates:
+        P = batch["loc_ulocal"].shape[0]
+        window, k_blocks = _base.ell_geometry(batch)
+        if (
+            u.shape[0] == P  # no spill tail
+            and k_blocks == 1
+            and _base.ell_wps(wps_key) == 1
+        ):
+            # Whole-model megakernel: all L conv layers in ONE pallas call
+            # (ops/pallas/local_layer.py:gin_local_model) — edge multi-hot
+            # and gather/scatter one-hots built once, h resident in VMEM.
+            from ..ops.pallas.local_layer import gin_local_model
+
+            dt = prec.compute_dtype
+            d = h.shape[1]
+            hid = params["mlp1_w"].shape[1]
+            h = gin_local_model(
+                attr_off, batch["loc_ulocal"], batch["loc_vlocal"], h,
+                params["edge_embedding"].reshape(-1, d).astype(dt),
+                params["mlp1_w"].reshape(L * hid, d),
+                params["mlp1_b"],
+                params["mlp2_w"].reshape(L * d, hid),
+                params["mlp2_b"],
+                (1.0 + eps).astype(jnp.float32).reshape(L, 1),
+                window, L,
+            )
+            inter.append(h)
+            L = 0  # conv stack done; fall through to readout
     for l in range(L):
         if ell:
             P = batch["loc_ulocal"].shape[0]

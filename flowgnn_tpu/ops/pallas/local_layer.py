@@ -523,6 +523,240 @@ def gin_local_layer_ell(
     return out[:n]
 
 
+def gin_local_model(
+    edge_attr: jnp.ndarray,  # [P, 3] int32 bond features (offsets applied)
+    u_local: jnp.ndarray,  # [P]
+    v_local: jnp.ndarray,  # [P]
+    h0: jnp.ndarray,  # [n, D] embedded input features
+    ee_tables: jnp.ndarray,  # [L·13, D] stacked bond-embedding tables
+    w1_all: jnp.ndarray,  # [L·H, D] stacked MLP-1 weights
+    b1_all: jnp.ndarray,  # [L, H]
+    w2_all: jnp.ndarray,  # [L·D, H] stacked MLP-2 weights
+    b2_all: jnp.ndarray,  # [L, D]
+    eps_all: jnp.ndarray,  # [L, 1] f32 (1+ε per layer)
+    window: int,
+    num_layers: int,
+) -> jnp.ndarray:
+    """The ENTIRE GIN conv stack (all L layers) in ONE pallas call.
+
+    Megakernel over the k=1 ELL local layout: one grid step runs all L
+    layers for its window — the edge multi-hot ([B, 13] bond features ≙
+    GIN/src/message_passing.cc:136-146) and gather/scatter one-hots are
+    built once (topology is layer-invariant), h stays in VMEM across
+    layers, and the [B, 5] packed edge metadata is DMA'd once instead of
+    L×. Per-layer math ≡ gin_local_layer_ell (message relu(h_u+ee) summed
+    at dest; MLP update with (1+ε)·h ≙ GIN/src/node_embedding.cc:117-192,
+    ReLU after except the last layer). Returns final h [n, D]. No-spill
+    k=1 only (caller falls back per layer otherwise).
+    """
+    n, d = h0.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h0, ((0, pad), (0, 0))) if pad else h0
+    p = edge_attr.shape[0]
+    block = p // num_windows
+    vocab = ee_tables.shape[0] // num_layers
+    hid = w1_all.shape[0] // num_layers
+    cdt = h0.dtype
+    meta, half, _ = _ell_meta(u_local, v_local, edge_attr, window, cdt)
+
+    def kernel(meta_ref, h_ref, tab_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               eps_ref, out_ref):
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, window), 1
+        ).astype(jnp.float32) - float(half)
+        vlanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, vocab), 1
+        ).astype(jnp.float32)
+        mf = meta_ref[:].astype(jnp.float32)
+        multihot = (
+            (mf[:, 2:3] == vlanes).astype(cdt)
+            + (mf[:, 3:4] == vlanes).astype(cdt)
+            + (mf[:, 4:5] == vlanes).astype(cdt)
+        )
+        onehot_u = (mf[:, 0:1] == lanes).astype(cdt)
+        onehot_v = (mf[:, 1:2] == lanes).astype(cdt)
+        h = h_ref[:]
+        for l in range(num_layers):
+            ee = jnp.dot(
+                multihot,
+                tab_ref[l * vocab : (l + 1) * vocab, :],
+                preferred_element_type=jnp.float32,
+            )
+            h_u = jnp.dot(onehot_u, h, preferred_element_type=jnp.float32)
+            msg = jnp.maximum(h_u + ee, 0).astype(cdt)
+            acc = jax.lax.dot_general(
+                onehot_v, msg,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            act = (acc + eps_ref[l, 0] * h.astype(jnp.float32)).astype(cdt)
+            z = jax.lax.dot_general(
+                act, w1_ref[l * hid : (l + 1) * hid, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b1_ref[l : l + 1, :].astype(jnp.float32)
+            z = jnp.maximum(z, 0).astype(cdt)
+            out = jax.lax.dot_general(
+                z, w2_ref[l * d : (l + 1) * d, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b2_ref[l : l + 1, :].astype(jnp.float32)
+            if l != num_layers - 1:
+                out = jnp.maximum(out, 0)
+            h = out.astype(cdt)
+        out_ref[:] = h
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((block, 5), lambda w: (w, 0)),
+            pl.BlockSpec((window, d), lambda w: (w, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), cdt),
+        cost_estimate=pl.CostEstimate(
+            flops=num_layers
+            * (6 * p * window * d + 4 * num_windows * window * hid * d),
+            bytes_accessed=(p * 5 + 2 * num_windows * window * d) * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(meta, hp, ee_tables, w1_all, b1_all, w2_all, b2_all, eps_all)
+    return out[:n]
+
+
+def gcn_local_model(
+    edge_attr: jnp.ndarray,  # [P, 3] int32 (offsets applied)
+    u_local: jnp.ndarray,
+    v_local: jnp.ndarray,
+    h0: jnp.ndarray,  # [n, D] conv-0 output
+    dis: jnp.ndarray,  # [n] 1/sqrt(deg+1)
+    ee_tables: jnp.ndarray,  # [L·13, D]
+    roots: jnp.ndarray,  # [L, D]
+    alphas: jnp.ndarray,  # [L, D] folded-BN scale
+    betas: jnp.ndarray,  # [L, D] folded-BN shift
+    wn_all: jnp.ndarray,  # [(L-1)·D, D] next-conv weights (right-mul rows)
+    bn_all: jnp.ndarray,  # [L-1, D]
+    window: int,
+    num_layers: int,
+) -> jnp.ndarray:
+    """The ENTIRE GCN post-conv-0 stack (all L fused layers) in ONE pallas
+    call. Megakernel over the k=1 ELL local layout — per-layer math ≡
+    gcn_local_layer_ell (norm-scaled messages ≙
+    GCN/src/message_passing.cc:148-167; root-emb tail + folded BatchNorm
+    + ReLU + next conv ≙ GCN/src/node_embedding.cc:122-146; the final
+    layer returns the no-ReLU tail ≙ GCN/src/finalize.cc:88-96). The
+    edge multi-hot, gather/scatter one-hots and per-edge source norms
+    dis_u are built/gathered once (all layer-invariant). Returns the
+    final pooling-ready tail [n, D]. No-spill k=1 only.
+    """
+    n, d = h0.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h0, ((0, pad), (0, 0))) if pad else h0
+    dis2 = jnp.pad(dis[:, None], ((0, pad), (0, 0))) if pad else dis[:, None]
+    hcat = jnp.concatenate([hp, dis2.astype(hp.dtype)], axis=1)
+    p = edge_attr.shape[0]
+    block = p // num_windows
+    vocab = ee_tables.shape[0] // num_layers
+    cdt = h0.dtype
+    meta, half, _ = _ell_meta(u_local, v_local, edge_attr, window, cdt)
+
+    def kernel(meta_ref, x_ref, tab_ref, root_ref, alpha_ref, beta_ref,
+               wn_ref, bn_ref, out_ref):
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, window), 1
+        ).astype(jnp.float32) - float(half)
+        vlanes = jax.lax.broadcasted_iota(
+            jnp.int32, (block, vocab), 1
+        ).astype(jnp.float32)
+        mf = meta_ref[:].astype(jnp.float32)
+        multihot = (
+            (mf[:, 2:3] == vlanes).astype(cdt)
+            + (mf[:, 3:4] == vlanes).astype(cdt)
+            + (mf[:, 4:5] == vlanes).astype(cdt)
+        )
+        onehot_u = (mf[:, 0:1] == lanes).astype(cdt)
+        onehot_v = (mf[:, 1:2] == lanes).astype(cdt)
+        dis_u = jnp.dot(
+            onehot_u, x_ref[:, d:], preferred_element_type=jnp.float32
+        )  # layer-invariant per-edge source norm
+        dis_win = x_ref[:, d:].astype(jnp.float32)
+        h = x_ref[:, :d]
+        for l in range(num_layers):
+            ee = jnp.dot(
+                multihot,
+                tab_ref[l * vocab : (l + 1) * vocab, :],
+                preferred_element_type=jnp.float32,
+            )
+            h_u = jnp.dot(onehot_u, h, preferred_element_type=jnp.float32)
+            msg = (dis_u * jnp.maximum(h_u + ee, 0)).astype(cdt)
+            acc = jax.lax.dot_general(
+                onehot_v, msg,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            h_win = h.astype(jnp.float32)
+            m = acc * dis_win
+            a = m + jnp.maximum(
+                h_win + root_ref[l : l + 1, :].astype(jnp.float32), 0.0
+            ) * (dis_win * dis_win)
+            x = (
+                alpha_ref[l : l + 1, :].astype(jnp.float32) * a
+                + beta_ref[l : l + 1, :].astype(jnp.float32)
+            )
+            if l != num_layers - 1:
+                a2 = jnp.maximum(x, 0.0).astype(cdt)
+                h = (
+                    jnp.dot(
+                        a2, wn_ref[l * d : (l + 1) * d, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + bn_ref[l : l + 1, :].astype(jnp.float32)
+                ).astype(cdt)
+            else:
+                out_ref[:] = x.astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((block, 5), lambda w: (w, 0)),
+            pl.BlockSpec((window, d + 1), lambda w: (w, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), cdt),
+        cost_estimate=pl.CostEstimate(
+            flops=num_layers
+            * (6 * p * window * d + 2 * num_windows * window * d * d),
+            bytes_accessed=(p * 5 + 2 * num_windows * window * d) * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(meta, hcat, ee_tables, roots, alphas, betas, wn_all, bn_all)
+    return out[:n]
+
+
 def gcn_local_message_ell(
     edge_attr: jnp.ndarray,  # [P, 3] int32 (offsets applied)
     ee_table: jnp.ndarray,  # [13, D]
