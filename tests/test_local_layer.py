@@ -111,14 +111,16 @@ def test_local_ell_equals_plain(graphs16, reference_root):
     tg = registry.apply_transforms(spec, graphs16[:4])
     small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
     plain = spec.forward(jp, as_batch(pack_graphs(tg, **small)), FLOAT32)
-    ell = spec.forward(
-        jp,
-        as_batch(pack_graphs_aligned(tg, window=128, **small),
-                 blocked="local_ell"),
-        FLOAT32,
-    )
+    ebatch = as_batch(pack_graphs_aligned(tg, window=128, **small),
+                      blocked="local_ell")
+    ell = spec.forward(jp, ebatch, FLOAT32)
     assert_allclose(np.asarray(ell)[:4], np.asarray(plain)[:4],
                     rtol=1e-5, atol=1e-5)
+    # return_intermediates routes through the per-layer kernels (the
+    # whole-model megakernel cannot expose per-layer h).
+    per_layer, _ = spec.forward(jp, ebatch, FLOAT32, return_intermediates=True)
+    assert_allclose(np.asarray(per_layer)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5, msg="per-layer")
 
 
 def test_gin_local_ell_wps_equals_plain(graphs16, reference_root, monkeypatch):
@@ -195,17 +197,18 @@ def test_gcn_dgn_local_ell_equals_plain(name, graphs16, reference_root):
         jp, as_batch(pack_graphs(tg, with_eigen=spec.needs_eigen, **small)),
         FLOAT32,
     )
-    ell = spec.forward(
-        jp,
-        as_batch(
-            pack_graphs_aligned(tg, window=128,
-                                with_eigen=spec.needs_eigen, **small),
-            blocked="local_ell",
-        ),
-        FLOAT32,
+    ebatch = as_batch(
+        pack_graphs_aligned(tg, window=128,
+                            with_eigen=spec.needs_eigen, **small),
+        blocked="local_ell",
     )
+    ell = spec.forward(jp, ebatch, FLOAT32)
     assert_allclose(np.asarray(ell)[:4], np.asarray(plain)[:4],
                     rtol=1e-5, atol=1e-5, msg=name)
+    # Per-layer fallback (megakernel bypassed) stays equivalent.
+    per_layer, _ = spec.forward(jp, ebatch, FLOAT32, return_intermediates=True)
+    assert_allclose(np.asarray(per_layer)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5, msg=f"{name} per-layer")
 
 
 def test_gat_local_ell_equals_plain(graphs16, reference_root):
@@ -237,6 +240,9 @@ def test_pna_local_slots_equals_plain(graphs16, reference_root):
     slotted = spec.forward(jp, sbatch, FLOAT32)
     assert_allclose(np.asarray(slotted)[:4], np.asarray(plain)[:4],
                     rtol=1e-5, atol=1e-5)
+    per_layer, _ = spec.forward(jp, sbatch, FLOAT32, return_intermediates=True)
+    assert_allclose(np.asarray(per_layer)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5, msg="per-layer")
     # Guard against dead wiring: the slot arrays must actually feed the
     # computation — corrupting them has to change the output.
     corrupt = dict(sbatch)
@@ -291,6 +297,12 @@ def test_gat_dgn_local_slots_equals_plain(name, graphs16, reference_root):
     slotted = spec.forward(jp, sbatch, FLOAT32)
     assert_allclose(np.asarray(slotted)[:4], np.asarray(plain)[:4],
                     rtol=1e-5, atol=1e-5, msg=name)
+    # return_intermediates routes through the per-layer kernels (the
+    # whole-model megakernel cannot expose per-layer h) — keep that
+    # fallback equivalent too.
+    per_layer, _ = spec.forward(jp, sbatch, FLOAT32, return_intermediates=True)
+    assert_allclose(np.asarray(per_layer)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5, msg=f"{name} per-layer")
     # Dead-wiring guard: corrupting the slot table must change the output.
     corrupt = dict(sbatch)
     corrupt["slot_src"] = np.where(
