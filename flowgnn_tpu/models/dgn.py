@@ -94,10 +94,14 @@ def forward(
 
     h = _atom_embed_dgn(params["atom_tables"], batch["node_feat"], prec)
     inter = [h]
-    if slots_mode and not has_spill and not return_intermediates:
-        # Whole-model megakernel: all L conv layers in ONE pallas call
-        # (ops/pallas/local_layer.py:dgn_local_model) — slot one-hot and
-        # eig_u gathers built once, h resident in VMEM across layers.
+    if (
+        slots_mode and not has_spill and not return_intermediates
+        and "pool_gl" in batch
+    ):
+        # Whole-model megakernel: all L conv layers + in-kernel finalize
+        # head in ONE pallas call (ops/pallas/local_layer.py:
+        # dgn_local_model) — slot one-hot and eig_u gathers built once, h
+        # resident in VMEM across layers, readout MLP-1 pooled per window.
         from ..ops.pallas.local_layer import dgn_local_model
 
         dim = params["posttrans_w"].shape[1]
@@ -108,15 +112,17 @@ def forward(
             ],
             axis=0,
         )
-        h = prec.q(
-            dgn_local_model(
-                batch["slot_src"], h, eig,
-                (1.0 / deg)[:, 0], eigw_sum, 1.0 / eig_abssum,
-                w_all, params["posttrans_b"],
-                window, n_slots, L,
-            )
+        pool = dgn_local_model(
+            batch["slot_src"], h, eig,
+            (1.0 / deg)[:, 0], eigw_sum, 1.0 / eig_abssum,
+            w_all, params["posttrans_b"],
+            jnp.asarray(batch["pool_gl"]),
+            params["mlp1_w"].T.astype(dt),
+            window, n_slots, L, _base.POOL_GMAX,
         )
-        L = 0  # conv stack done; fall through to readout
+        z = relu(_base.pool_finish(pool, batch, params["mlp1_b"], prec))
+        z = relu(linear(z, params["mlp2_w"], params["mlp2_b"], prec))
+        return linear(z, params["mlp3_w"], params["mlp3_b"], prec)
     for l in range(L):
         if slots_mode:
             from ..ops.pallas.local_layer import dgn_local_layer_slots

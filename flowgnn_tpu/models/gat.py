@@ -110,7 +110,10 @@ def forward(
 
     inter = [h]
     out_feat = None
-    if slots_mode and not has_spill and not return_intermediates:
+    if (
+        slots_mode and not has_spill and not return_intermediates
+        and "pool_gl" in batch
+    ):
         # Whole-model megakernel: all L layers + glue in ONE pallas call
         # (gat_local_model_slots) — the slot one-hot gather is built once
         # and reused per layer, and no inter-layer tensor touches HBM.
@@ -136,14 +139,18 @@ def forward(
         a_next = jnp.concatenate(
             [_amat(params["a_src"][1:]), _amat(params["a_tgt"][1:])], axis=1
         )
-        out_feat = prec.q(
-            gat_local_model_slots(
-                batch["slot_stack"], h.reshape(n, H * D),
-                prev.reshape(n, H * D),
-                jnp.concatenate([s_src, s_tgt], axis=1),
-                skip_w, proj_w, a_next, window, n_slots, H, L,
-            )
+        # Head-average ∘ prediction head, pre-composed (both linear):
+        # pred_hd[h·D+k, t] = pred_w[t, k] / H.
+        pred_hd = jnp.tile(params["pred_w"].T / H, (H, 1)).astype(cdt)
+        pool = gat_local_model_slots(
+            batch["slot_stack"], h.reshape(n, H * D),
+            prev.reshape(n, H * D),
+            jnp.concatenate([s_src, s_tgt], axis=1),
+            skip_w, proj_w, a_next,
+            jnp.asarray(batch["pool_gl"]), pred_hd,
+            window, n_slots, H, L, _base.POOL_GMAX,
         )
+        return _base.pool_finish(pool, batch, params["pred_b"], prec)
     for l in range(L if out_feat is None else 0):
         if slots_mode:
             from ..ops.pallas.local_layer import gat_local_message_slots

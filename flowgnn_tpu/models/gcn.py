@@ -94,10 +94,14 @@ def forward(
         dt = prec.compute_dtype
         h = linear(h, params["conv_w"][0], params["conv_b"][0], prec)
         inter.append(h)
-        if k_blocks == 1 and not return_intermediates:
-            # Whole-model megakernel: all L fused layers in ONE pallas call
-            # (ops/pallas/local_layer.py:gcn_local_model) — edge multi-hot,
-            # one-hots and per-edge source norms built once, h in VMEM.
+        if (
+            k_blocks == 1 and not return_intermediates
+            and "pool_gl" in batch and edge_axis is None
+        ):
+            # Whole-model megakernel: all L fused layers + in-kernel
+            # finalize in ONE pallas call (gcn_local_model) — edge
+            # multi-hot, one-hots and per-edge source norms built once,
+            # h in VMEM, prediction pooled per window.
             from ..ops.pallas.local_layer import gcn_local_model
 
             s_all = jnp.sqrt(params["bn_var"].astype(jnp.float32) + BN_EPS)
@@ -109,21 +113,16 @@ def forward(
             wn_all = jnp.concatenate(
                 [params["conv_w"][l + 1].T for l in range(L - 1)], axis=0
             )
-            a = prec.q(
-                gcn_local_model(
-                    attr_off, batch["loc_ulocal"], batch["loc_vlocal"],
-                    h, dis,
-                    params["edge_embedding"].reshape(-1, d).astype(dt),
-                    params["root_emb"], alphas, betas,
-                    wn_all, params["conv_b"][1:],
-                    window, L,
-                )
+            pool = gcn_local_model(
+                attr_off, batch["loc_ulocal"], batch["loc_vlocal"],
+                h, dis, jnp.asarray(batch["pool_gl"]),
+                params["edge_embedding"].reshape(-1, d).astype(dt),
+                params["root_emb"], alphas, betas,
+                wn_all, params["conv_b"][1:],
+                params["pred_w"].T.astype(dt),
+                window, L, _base.POOL_GMAX,
             )
-            h_graph = mean_pool(
-                a, batch, prec,
-                edge_axis if halo_mode(batch, edge_axis) else None,
-            )
-            return linear(h_graph, params["pred_w"], params["pred_b"], prec)
+            return _base.pool_finish(pool, batch, params["pred_b"], prec)
         for l in range(L):
             final = l == L - 1
             s = jnp.sqrt(

@@ -75,34 +75,37 @@ def forward(
         from ..core.features import BOND_FEATURE_OFFSETS
 
         attr_off = batch["edge_attr"] + jnp.asarray(BOND_FEATURE_OFFSETS)[None, :]
-    if ell and not return_intermediates:
+    if ell and not return_intermediates and "pool_gl" in batch:
         P = batch["loc_ulocal"].shape[0]
         window, k_blocks = _base.ell_geometry(batch)
         if (
             u.shape[0] == P  # no spill tail
             and k_blocks == 1
             and _base.ell_wps(wps_key) == 1
+            and edge_axis is None
         ):
-            # Whole-model megakernel: all L conv layers in ONE pallas call
-            # (ops/pallas/local_layer.py:gin_local_model) — edge multi-hot
-            # and gather/scatter one-hots built once, h resident in VMEM.
+            # Whole-model megakernel: conv stack + in-kernel finalize in
+            # ONE pallas call (ops/pallas/local_layer.py:gin_local_model)
+            # — edge multi-hot and gather/scatter one-hots built once, h
+            # resident in VMEM, prediction pooled per window.
             from ..ops.pallas.local_layer import gin_local_model
 
             dt = prec.compute_dtype
             d = h.shape[1]
             hid = params["mlp1_w"].shape[1]
-            h = gin_local_model(
+            pool = gin_local_model(
                 attr_off, batch["loc_ulocal"], batch["loc_vlocal"], h,
+                jnp.asarray(batch["pool_gl"]),
                 params["edge_embedding"].reshape(-1, d).astype(dt),
                 params["mlp1_w"].reshape(L * hid, d),
                 params["mlp1_b"],
                 params["mlp2_w"].reshape(L * d, hid),
                 params["mlp2_b"],
                 (1.0 + eps).astype(jnp.float32).reshape(L, 1),
-                window, L,
+                params["pred_w"].T.astype(dt),
+                window, L, _base.POOL_GMAX,
             )
-            inter.append(h)
-            L = 0  # conv stack done; fall through to readout
+            return _base.pool_finish(pool, batch, params["pred_b"], prec)
     for l in range(L):
         if ell:
             P = batch["loc_ulocal"].shape[0]

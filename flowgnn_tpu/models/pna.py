@@ -70,10 +70,14 @@ def forward(
 
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     inter = [h]
-    if slots and not batch["slot_spill"].shape[-1] and not return_intermediates:
-        # Whole-model megakernel: all L conv layers in ONE pallas call
-        # (ops/pallas/local_layer.py:pna_local_model) — slot one-hot
-        # gathers built once, h resident in VMEM across layers.
+    if (
+        slots and not batch["slot_spill"].shape[-1]
+        and not return_intermediates and "pool_gl" in batch
+    ):
+        # Whole-model megakernel: all L conv layers + in-kernel finalize
+        # head in ONE pallas call (ops/pallas/local_layer.py:
+        # pna_local_model) — slot one-hot gathers built once, h resident
+        # in VMEM across layers, readout MLP-1 pooled per window.
         from ..ops.pallas.local_layer import pna_local_model
 
         window, n_slots = batch["slot_geom"].shape[-2:]
@@ -91,15 +95,18 @@ def forward(
             ],
             axis=0,
         )
-        h = prec.q(
-            pna_local_model(
-                batch["slot_src"], h,
-                (1.0 / in_deg)[:, 0], t[:, 0], scale[:, 0],
-                w_all, params["conv_b"],
-                int(window), int(n_slots), L, MAX_INIT, MIN_INIT,
-            )
+        pool = pna_local_model(
+            batch["slot_src"], h,
+            (1.0 / in_deg)[:, 0], t[:, 0], scale[:, 0],
+            w_all, params["conv_b"],
+            jnp.asarray(batch["pool_gl"]),
+            params["mlp1_w"].T.astype(dt),
+            int(window), int(n_slots), L, _base.POOL_GMAX,
+            MAX_INIT, MIN_INIT,
         )
-        L = 0  # conv stack done; fall through to readout
+        z = relu(_base.pool_finish(pool, batch, params["mlp1_b"], prec))
+        z = relu(linear(z, params["mlp2_w"], params["mlp2_b"], prec))
+        return linear(z, params["mlp3_w"], params["mlp3_b"], prec)
     for l in range(L):
         d = h.shape[1]
         if slots and not has_spill:

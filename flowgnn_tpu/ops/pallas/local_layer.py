@@ -523,21 +523,48 @@ def gin_local_layer_ell(
     return out[:n]
 
 
+def _pool_epilogue(h, x_ref, gl_col: int, predw_ref, window: int, gmax: int):
+    """In-kernel finalize: per-node head matvec (commutes with
+    mean-pooling) + per-window pooling via one [W, GMAX] one-hot matmul
+    (the graph-local-id column rides the feature tile —
+    base._attach_pool_layout). Returns [GMAX, T] f32 per-graph prediction
+    SUMS; the caller's base.pool_finish divides by node counts and adds
+    the bias. Replaces the XLA segment-sum scatter whose per-ROW cost was
+    the whole readout (~0.15 ms/pass at [33k, 100] on v5e)."""
+    p = jnp.dot(
+        h.astype(x_ref.dtype), predw_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    gl = x_ref[:, gl_col : gl_col + 1].astype(jnp.float32)
+    giota = jax.lax.broadcasted_iota(
+        jnp.int32, (window, gmax), 1
+    ).astype(jnp.float32)
+    ohg = (gl == giota).astype(jnp.float32)
+    return jax.lax.dot_general(
+        ohg, p, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def gin_local_model(
     edge_attr: jnp.ndarray,  # [P, 3] int32 bond features (offsets applied)
     u_local: jnp.ndarray,  # [P]
     v_local: jnp.ndarray,  # [P]
     h0: jnp.ndarray,  # [n, D] embedded input features
+    pool_gl: jnp.ndarray,  # [NW·W] graph-local ids (base._attach_pool_layout)
     ee_tables: jnp.ndarray,  # [L·13, D] stacked bond-embedding tables
     w1_all: jnp.ndarray,  # [L·H, D] stacked MLP-1 weights
     b1_all: jnp.ndarray,  # [L, H]
     w2_all: jnp.ndarray,  # [L·D, H] stacked MLP-2 weights
     b2_all: jnp.ndarray,  # [L, D]
     eps_all: jnp.ndarray,  # [L, 1] f32 (1+ε per layer)
+    pred_w: jnp.ndarray,  # [D, T] prediction head (right-mul)
     window: int,
     num_layers: int,
+    gmax: int,
 ) -> jnp.ndarray:
-    """The ENTIRE GIN conv stack (all L layers) in ONE pallas call.
+    """The ENTIRE GIN model (all L conv layers + finalize) in ONE pallas
+    call.
 
     Megakernel over the k=1 ELL local layout: one grid step runs all L
     layers for its window — the edge multi-hot ([B, 13] bond features ≙
@@ -546,22 +573,30 @@ def gin_local_model(
     layers, and the [B, 5] packed edge metadata is DMA'd once instead of
     L×. Per-layer math ≡ gin_local_layer_ell (message relu(h_u+ee) summed
     at dest; MLP update with (1+ε)·h ≙ GIN/src/node_embedding.cc:117-192,
-    ReLU after except the last layer). Returns final h [n, D]. No-spill
+    ReLU after except the last layer). The epilogue runs the finalize
+    stage in-kernel like the reference's dataflow finalize
+    (GIN/src/finalize.cc:14-115): the prediction matvec is applied
+    per-node (it commutes with mean-pooling) and pooled per window with a
+    [W, GMAX] one-hot matmul — no XLA segment-sum scatter remains in the
+    model. Returns per-(window, graph-slot) prediction SUMS
+    [NW·GMAX, T] (f32) for base.pool_finish to divide + bias. No-spill
     k=1 only (caller falls back per layer otherwise).
     """
     n, d = h0.shape
     num_windows = -(-n // window)
     pad = num_windows * window - n
     hp = jnp.pad(h0, ((0, pad), (0, 0))) if pad else h0
+    hcat = jnp.concatenate([hp, pool_gl[:, None].astype(hp.dtype)], axis=1)
     p = edge_attr.shape[0]
     block = p // num_windows
     vocab = ee_tables.shape[0] // num_layers
     hid = w1_all.shape[0] // num_layers
+    t_out = pred_w.shape[1]
     cdt = h0.dtype
     meta, half, _ = _ell_meta(u_local, v_local, edge_attr, window, cdt)
 
     def kernel(meta_ref, h_ref, tab_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               eps_ref, out_ref):
+               eps_ref, predw_ref, out_ref):
         lanes = jax.lax.broadcasted_iota(
             jnp.int32, (block, window), 1
         ).astype(jnp.float32) - float(half)
@@ -576,7 +611,7 @@ def gin_local_model(
         )
         onehot_u = (mf[:, 0:1] == lanes).astype(cdt)
         onehot_v = (mf[:, 1:2] == lanes).astype(cdt)
-        h = h_ref[:]
+        h = h_ref[:, :d]
         for l in range(num_layers):
             ee = jnp.dot(
                 multihot,
@@ -605,7 +640,7 @@ def gin_local_model(
             if l != num_layers - 1:
                 out = jnp.maximum(out, 0)
             h = out.astype(cdt)
-        out_ref[:] = h
+        out_ref[:] = _pool_epilogue(h, h_ref, d, predw_ref, window, gmax)
 
     out = pl.pallas_call(
         kernel,
@@ -615,7 +650,8 @@ def gin_local_model(
         ),
         in_specs=[
             pl.BlockSpec((block, 5), lambda w: (w, 0)),
-            pl.BlockSpec((window, d), lambda w: (w, 0)),
+            pl.BlockSpec((window, d + 1), lambda w: (w, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -623,8 +659,8 @@ def gin_local_model(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
-        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), cdt),
+        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=num_layers
             * (6 * p * window * d + 4 * num_windows * window * hid * d),
@@ -632,8 +668,8 @@ def gin_local_model(
             transcendentals=0,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(meta, hp, ee_tables, w1_all, b1_all, w2_all, b2_all, eps_all)
-    return out[:n]
+    )(meta, hcat, ee_tables, w1_all, b1_all, w2_all, b2_all, eps_all, pred_w)
+    return out
 
 
 def gcn_local_model(
@@ -642,39 +678,47 @@ def gcn_local_model(
     v_local: jnp.ndarray,
     h0: jnp.ndarray,  # [n, D] conv-0 output
     dis: jnp.ndarray,  # [n] 1/sqrt(deg+1)
+    pool_gl: jnp.ndarray,  # [NW·W] graph-local ids (base._attach_pool_layout)
     ee_tables: jnp.ndarray,  # [L·13, D]
     roots: jnp.ndarray,  # [L, D]
     alphas: jnp.ndarray,  # [L, D] folded-BN scale
     betas: jnp.ndarray,  # [L, D] folded-BN shift
     wn_all: jnp.ndarray,  # [(L-1)·D, D] next-conv weights (right-mul rows)
     bn_all: jnp.ndarray,  # [L-1, D]
+    pred_w: jnp.ndarray,  # [D, T] prediction head (right-mul)
     window: int,
     num_layers: int,
+    gmax: int,
 ) -> jnp.ndarray:
-    """The ENTIRE GCN post-conv-0 stack (all L fused layers) in ONE pallas
-    call. Megakernel over the k=1 ELL local layout — per-layer math ≡
-    gcn_local_layer_ell (norm-scaled messages ≙
+    """The ENTIRE GCN post-conv-0 model (all L fused layers + finalize) in
+    ONE pallas call. Megakernel over the k=1 ELL local layout — per-layer
+    math ≡ gcn_local_layer_ell (norm-scaled messages ≙
     GCN/src/message_passing.cc:148-167; root-emb tail + folded BatchNorm
     + ReLU + next conv ≙ GCN/src/node_embedding.cc:122-146; the final
-    layer returns the no-ReLU tail ≙ GCN/src/finalize.cc:88-96). The
-    edge multi-hot, gather/scatter one-hots and per-edge source norms
-    dis_u are built/gathered once (all layer-invariant). Returns the
-    final pooling-ready tail [n, D]. No-spill k=1 only.
+    layer's no-ReLU tail feeds pooling ≙ GCN/src/finalize.cc:39-113,
+    which here runs in-kernel via _pool_epilogue). The edge multi-hot,
+    gather/scatter one-hots and per-edge source norms dis_u are
+    built/gathered once (all layer-invariant). Returns per-(window,
+    graph-slot) prediction SUMS [NW·GMAX, T] f32 for base.pool_finish.
+    No-spill k=1 only.
     """
     n, d = h0.shape
     num_windows = -(-n // window)
     pad = num_windows * window - n
     hp = jnp.pad(h0, ((0, pad), (0, 0))) if pad else h0
     dis2 = jnp.pad(dis[:, None], ((0, pad), (0, 0))) if pad else dis[:, None]
-    hcat = jnp.concatenate([hp, dis2.astype(hp.dtype)], axis=1)
+    hcat = jnp.concatenate(
+        [hp, dis2.astype(hp.dtype), pool_gl[:, None].astype(hp.dtype)], axis=1
+    )
     p = edge_attr.shape[0]
     block = p // num_windows
     vocab = ee_tables.shape[0] // num_layers
+    t_out = pred_w.shape[1]
     cdt = h0.dtype
     meta, half, _ = _ell_meta(u_local, v_local, edge_attr, window, cdt)
 
     def kernel(meta_ref, x_ref, tab_ref, root_ref, alpha_ref, beta_ref,
-               wn_ref, bn_ref, out_ref):
+               wn_ref, bn_ref, predw_ref, out_ref):
         lanes = jax.lax.broadcasted_iota(
             jnp.int32, (block, window), 1
         ).astype(jnp.float32) - float(half)
@@ -690,9 +734,9 @@ def gcn_local_model(
         onehot_u = (mf[:, 0:1] == lanes).astype(cdt)
         onehot_v = (mf[:, 1:2] == lanes).astype(cdt)
         dis_u = jnp.dot(
-            onehot_u, x_ref[:, d:], preferred_element_type=jnp.float32
+            onehot_u, x_ref[:, d : d + 1], preferred_element_type=jnp.float32
         )  # layer-invariant per-edge source norm
-        dis_win = x_ref[:, d:].astype(jnp.float32)
+        dis_win = x_ref[:, d : d + 1].astype(jnp.float32)
         h = x_ref[:, :d]
         for l in range(num_layers):
             ee = jnp.dot(
@@ -726,7 +770,9 @@ def gcn_local_model(
                     + bn_ref[l : l + 1, :].astype(jnp.float32)
                 ).astype(cdt)
             else:
-                out_ref[:] = x.astype(out_ref.dtype)
+                out_ref[:] = _pool_epilogue(
+                    x, x_ref, d + 1, predw_ref, window, gmax
+                )
 
     out = pl.pallas_call(
         kernel,
@@ -736,7 +782,8 @@ def gcn_local_model(
         ),
         in_specs=[
             pl.BlockSpec((block, 5), lambda w: (w, 0)),
-            pl.BlockSpec((window, d + 1), lambda w: (w, 0)),
+            pl.BlockSpec((window, d + 2), lambda w: (w, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -744,8 +791,8 @@ def gcn_local_model(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
-        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), cdt),
+        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=num_layers
             * (6 * p * window * d + 2 * num_windows * window * d * d),
@@ -753,8 +800,8 @@ def gcn_local_model(
             transcendentals=0,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(meta, hcat, ee_tables, roots, alphas, betas, wn_all, bn_all)
-    return out[:n]
+    )(meta, hcat, ee_tables, roots, alphas, betas, wn_all, bn_all, pred_w)
+    return out
 
 
 def gcn_local_message_ell(
@@ -1481,13 +1528,17 @@ def pna_local_model(
     scale: jnp.ndarray,  # [n] avg_deg/log(out_deg+1) scaler
     w_all: jnp.ndarray,  # [L·4D, 3D] per-layer [w_noneᵀ ‖ w_tᵀ ‖ w_scaleᵀ]
     b_all: jnp.ndarray,  # [L, D]
+    pool_gl: jnp.ndarray,  # [NW·W] graph-local ids (base._attach_pool_layout)
+    mlp1_w: jnp.ndarray,  # [D, D1] readout MLP-1 (right-mul)
     window: int,
     slots: int,
     num_layers: int,
+    gmax: int,
     min_init: float,
     max_init: float,
 ) -> jnp.ndarray:
-    """The ENTIRE PNA conv stack (all L layers) in ONE pallas call.
+    """The ENTIRE PNA conv stack (all L layers + finalize head) in ONE
+    pallas call.
 
     Window-aligned packing keeps every edge in-window, so one grid step
     runs all L layers for its window with h resident in VMEM throughout:
@@ -1496,8 +1547,12 @@ def pna_local_model(
     instead of L×, and no inter-layer h touches HBM. Layer math is
     identical to pna_local_layer (4 running aggregates ≙
     PNA/src/message_passing.cc:121-147; mean/std + scaler tower + residual
-    ≙ PNA/src/node_embedding.cc:123-214). Returns final h [n, D]; readout
-    stays outside. No-spill only (caller falls back per layer otherwise).
+    ≙ PNA/src/node_embedding.cc:123-214). The epilogue applies the
+    readout MLP's FIRST linear per node (it commutes with mean-pooling ≙
+    PNA/src/finalize.cc:34-52) and pools per window (_pool_epilogue);
+    base.pool_finish divides + biases, then ReLU + MLP-2/3 run on the
+    tiny [G, D1] in XLA. Returns [NW·GMAX, D1] f32 partial sums.
+    No-spill only (caller falls back per layer otherwise).
     """
     n, d = h0.shape
     num_windows = -(-n // window)
@@ -1505,13 +1560,16 @@ def pna_local_model(
     hp = jnp.pad(h0, ((0, pad), (0, 0))) if pad else h0
     aux = jnp.stack([inv_deg, t, scale], axis=1).astype(hp.dtype)  # [n, 3]
     aux = jnp.pad(aux, ((0, pad), (0, 0))) if pad else aux
+    scols = _slot_ncols(window, slots)
     hcat = jnp.concatenate(
-        [hp, aux, _slot_cols(slot_src, window, hp.dtype)], axis=1
+        [hp, aux, _slot_cols(slot_src, window, hp.dtype),
+         pool_gl[:, None].astype(hp.dtype)], axis=1
     )
-    ncols = d + 3 + _slot_ncols(window, slots)
+    ncols = d + 3 + scols + 1
+    t_out = mlp1_w.shape[1]
     cdt = h0.dtype
 
-    def kernel(x_ref, w_ref, b_ref, out_ref):
+    def kernel(x_ref, w_ref, b_ref, predw_ref, out_ref):
         lanes_f = jax.lax.broadcasted_iota(
             jnp.int32, (window, window), 1
         ).astype(jnp.float32)
@@ -1555,7 +1613,9 @@ def pna_local_model(
             )
             h32 = h.astype(jnp.float32)
             h = (h32 + jnp.maximum(acc, 0.0)).astype(cdt)
-        out_ref[:] = h
+        out_ref[:] = _pool_epilogue(
+            h, x_ref, d + 3 + scols, predw_ref, window, gmax
+        )
 
     out = pl.pallas_call(
         kernel,
@@ -1567,9 +1627,10 @@ def pna_local_model(
             pl.BlockSpec((window, ncols), lambda w: (w, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
-        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), cdt),
+        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * num_windows * num_layers
             * (slots * window * window * d + window * 4 * d * 3 * d),
@@ -1577,8 +1638,8 @@ def pna_local_model(
             transcendentals=num_layers * num_windows * window * d,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(hcat, w_all, b_all)
-    return out[:n]
+    )(hcat, w_all, b_all, mlp1_w)
+    return out
 
 
 def gat_local_message_slots(
@@ -1689,12 +1750,16 @@ def gat_local_model_slots(
     skip_w: jnp.ndarray,  # [L·HD, HD] right-mul skip weights, layer-major rows
     proj_w: jnp.ndarray,  # [(L-1)·HD, HD] right-mul projections, layers 1..L-1
     a_next: jnp.ndarray,  # [(L-1)·HD, 2H] score maps (a_src ‖ a_tgt), layers 1..L-1
+    pool_gl: jnp.ndarray,  # [NW·W] graph-local ids (base._attach_pool_layout)
+    pred_hd: jnp.ndarray,  # [HD, T] head-average ∘ prediction head, combined
     window: int,
     slots: int,
     num_heads: int,
     num_layers: int,
+    gmax: int,
 ) -> jnp.ndarray:
-    """The ENTIRE GAT stack (all L layers + glue) in ONE pallas call.
+    """The ENTIRE GAT model (all L layers + glue + finalize) in ONE pallas
+    call.
 
     Window-aligned packing keeps every edge in-window, so a window's whole
     forward pass is independent of every other window: one grid step runs
@@ -1708,9 +1773,12 @@ def gat_local_model_slots(
     gat_local_message_slots (raw-exp softmax, in-kernel divide,
     GAT/src/message_passing.cc:122-148); glue math mirrors models/gat.py's
     per-layer path (skip-proj + ELU ≙ GAT/src/node_embedding.cc:156-196,
-    next-layer projection + scores ≙ node_embedding.cc:230-268, final
-    head-average ≙ finalize.cc:90-110). Returns [n, D] head-averaged
-    final features ready for mean-pool.
+    next-layer projection + scores ≙ node_embedding.cc:230-268). The
+    finalize stage (head-average ≙ finalize.cc:90-110, prediction matvec,
+    per-window mean-pool partials) runs in-kernel via _pool_epilogue —
+    ``pred_hd`` pre-composes the head-average map with the prediction
+    head (both linear). Returns per-(window, graph-slot) prediction SUMS
+    [NW·GMAX, T] f32 for base.pool_finish.
 
     No-spill only (caller falls back to the per-layer path when the batch
     has window-crossing edges, where per-layer spill terms must merge
@@ -1726,12 +1794,14 @@ def gat_local_model_slots(
         prev0 = jnp.pad(prev0, ((0, pad), (0, 0)))
         s0 = jnp.pad(s0, ((0, pad), (0, 0)))
     cdt = h0.dtype
+    t_out = pred_hd.shape[1]
     xcat = jnp.concatenate(
-        [h0, prev0, s0.astype(cdt)], axis=1
-    )  # [NW·W, 2HD+2H]
+        [h0, prev0, s0.astype(cdt), pool_gl[:, None].astype(cdt)], axis=1
+    )  # [NW·W, 2HD+2H+1]
     sw = slots * window
 
-    def kernel(uslot_ref, x_ref, skip_ref, proj_ref, a_ref, out_ref):
+    def kernel(uslot_ref, x_ref, skip_ref, proj_ref, a_ref, predw_ref,
+               out_ref):
         uslot = uslot_ref[:, 0].astype(jnp.float32)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1).astype(
             jnp.float32
@@ -1741,15 +1811,11 @@ def gat_local_model_slots(
         cols = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 1) // d
         rows = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 0)
         expand = (cols == rows).astype(jnp.float32)
-        # head-average map [HD, D]: rows h·D+k → col k, scaled 1/H.
-        hrow = jax.lax.broadcasted_iota(jnp.int32, (hd, d), 0) % d
-        hcol = jax.lax.broadcasted_iota(jnp.int32, (hd, d), 1)
-        havg = (hrow == hcol).astype(jnp.float32) / float(nh)
 
         h = x_ref[:, :hd]  # [W, HD] compute dtype
         prev = x_ref[:, hd : 2 * hd]
         s_src = x_ref[:, 2 * hd : 2 * hd + nh].astype(jnp.float32)
-        s_tgt = x_ref[:, 2 * hd + nh :]
+        s_tgt = x_ref[:, 2 * hd + nh : 2 * hd + 2 * nh]
         for l in range(num_layers):
             hcat = jnp.concatenate([h, s_tgt.astype(cdt)], axis=1)
             hu_all = jnp.dot(
@@ -1796,9 +1862,10 @@ def gat_local_model_slots(
                 s_src = scat[:, :nh].astype(cdt).astype(jnp.float32)
                 s_tgt = scat[:, nh:].astype(cdt)
             else:
-                out_ref[:] = jnp.dot(
-                    msg + skip, havg, preferred_element_type=jnp.float32
-                ).astype(out_ref.dtype)
+                out_ref[:] = _pool_epilogue(
+                    msg + skip, x_ref, 2 * hd + 2 * nh, predw_ref,
+                    window, gmax,
+                )
 
     out = pl.pallas_call(
         kernel,
@@ -1808,13 +1875,14 @@ def gat_local_model_slots(
         ),
         in_specs=[
             pl.BlockSpec((sw, 1), lambda w: (w, 0)),
-            pl.BlockSpec((window, 2 * hd + 2 * nh), lambda w: (w, 0)),
+            pl.BlockSpec((window, 2 * hd + 2 * nh + 1), lambda w: (w, 0)),
             pl.BlockSpec(skip_w.shape, lambda w: (0, 0)),
             pl.BlockSpec(proj_w.shape, lambda w: (0, 0)),
             pl.BlockSpec(a_next.shape, lambda w: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
-        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), cdt),
+        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2
             * num_windows
@@ -1825,8 +1893,8 @@ def gat_local_model_slots(
             transcendentals=num_layers * num_windows * sw * nh,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(slot_stack[:, None], xcat, skip_w, proj_w, a_next)
-    return out[:n]
+    )(slot_stack[:, None], xcat, skip_w, proj_w, a_next, pred_hd)
+    return out
 
 
 def dgn_local_layer_slots(
@@ -1942,11 +2010,15 @@ def dgn_local_model(
     inv_abssum: jnp.ndarray,  # [n] 1/eig_abssum (eps-guarded)
     w_all: jnp.ndarray,  # [L·2D, D] per-layer posttrans (right-mul rows)
     b_all: jnp.ndarray,  # [L, D]
+    pool_gl: jnp.ndarray,  # [NW·W] graph-local ids (base._attach_pool_layout)
+    mlp1_w: jnp.ndarray,  # [D, D1] readout MLP-1 (right-mul)
     window: int,
     slots: int,
     num_layers: int,
+    gmax: int,
 ) -> jnp.ndarray:
-    """The ENTIRE DGN conv stack (all L layers) in ONE pallas call.
+    """The ENTIRE DGN conv stack (all L layers + finalize head) in ONE
+    pallas call.
 
     Same megakernel pattern as pna_local_model: one grid step runs all L
     layers for its window — slot one-hot gathers and the per-slot eig_u
@@ -1956,7 +2028,10 @@ def dgn_local_model(
     with m2 factored as Σ eig_u·h_u − eig_v·m1 ≙
     DGN/src/message_passing.cc:120-153; mean + directional-derivative
     normalisation, posttrans, residual ≙ DGN/src/node_embedding.cc:107-160).
-    Returns final h [n, D]. No-spill only.
+    The epilogue applies the readout MLP's first linear per node (commutes
+    with mean-pooling ≙ DGN/src/finalize.cc:35-52) and pools per window
+    (_pool_epilogue). Returns [NW·GMAX, D1] f32 partial sums for
+    base.pool_finish. No-spill only.
     """
     n, d = h0.shape
     num_windows = -(-n // window)
@@ -1966,13 +2041,16 @@ def dgn_local_model(
         hp.dtype
     )
     aux = jnp.pad(aux, ((0, pad), (0, 0))) if pad else aux
+    scols = _slot_ncols(window, slots)
     hcat = jnp.concatenate(
-        [hp, aux, _slot_cols(slot_src, window, hp.dtype)], axis=1
+        [hp, aux, _slot_cols(slot_src, window, hp.dtype),
+         pool_gl[:, None].astype(hp.dtype)], axis=1
     )
-    ncols = d + 4 + _slot_ncols(window, slots)
+    ncols = d + 4 + scols + 1
+    t_out = mlp1_w.shape[1]
     cdt = h0.dtype
 
-    def kernel(x_ref, w_ref, b_ref, out_ref):
+    def kernel(x_ref, w_ref, b_ref, predw_ref, out_ref):
         lanes_f = jax.lax.broadcasted_iota(
             jnp.int32, (window, window), 1
         ).astype(jnp.float32)
@@ -2010,7 +2088,9 @@ def dgn_local_model(
                 preferred_element_type=jnp.float32,
             ) + b_ref[l : l + 1, :].astype(jnp.float32)
             h = (h_win + jnp.maximum(acc, 0.0)).astype(cdt)
-        out_ref[:] = h
+        out_ref[:] = _pool_epilogue(
+            h, x_ref, d + 4 + scols, predw_ref, window, gmax
+        )
 
     out = pl.pallas_call(
         kernel,
@@ -2022,9 +2102,10 @@ def dgn_local_model(
             pl.BlockSpec((window, ncols), lambda w: (w, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((window, d), lambda w: (w, 0)),
-        out_shape=jax.ShapeDtypeStruct((num_windows * window, d), cdt),
+        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * num_windows * num_layers
             * (slots * window * window * d + window * 2 * d * d),
@@ -2032,8 +2113,8 @@ def dgn_local_model(
             transcendentals=0,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(hcat, w_all, b_all)
-    return out[:n]
+    )(hcat, w_all, b_all, mlp1_w)
+    return out
 
 
 def gat_local_layer_ell(
