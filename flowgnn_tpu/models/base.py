@@ -123,6 +123,18 @@ def _attach_degrees(batch: dict, n: int) -> None:
     batch["in_deg"] = np.bincount(
         batch["receivers"], minlength=n
     ).astype(np.int32)
+    if "node_eigen" in batch:
+        # DGN's per-node eig sums (DGN/src/load_inputs.cc:105-110) are
+        # graph constants too — precompute in f32 like the reference's
+        # load stage instead of two [E]-row scatters per forward pass.
+        eig = batch["node_eigen"][:, 1].astype(np.float32)
+        ew = eig[batch["senders"]] - eig[batch["receivers"]]
+        s = np.zeros(n, np.float32)
+        np.add.at(s, batch["receivers"], ew)
+        a = np.zeros(n, np.float32)
+        np.add.at(a, batch["receivers"], np.abs(ew))
+        batch["eigw_sum"] = s
+        batch["eig_abssum"] = a
 
 
 def as_batch(

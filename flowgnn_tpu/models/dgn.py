@@ -61,6 +61,12 @@ def forward(
         eig_w = prec.q(jnp.take(eig_ext, u) - jnp.take(eig, v))
         eig_abssum = segment_sum(jnp.abs(eig_w), v, n + 1)[:n]
         eigw_sum = prec.q(segment_sum(eig_w, v, n + 1)[:n])
+    elif "eigw_sum" in batch and prec.fixed is None and edge_axis is None:
+        # Host-precomputed (base._attach_degrees) — graph constants, like
+        # the reference's load stage (DGN/src/load_inputs.cc:105-110).
+        eig_w = prec.q(jnp.take(eig, u) - jnp.take(eig, v))
+        eigw_sum = prec.q(batch["eigw_sum"].astype(dt))
+        eig_abssum = batch["eig_abssum"].astype(dt)
     else:
         eig_w = prec.q(jnp.take(eig, u) - jnp.take(eig, v))
         eig_abssum = segment_sum(jnp.abs(eig_w), v, n, edge_axis)
