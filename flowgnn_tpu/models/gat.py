@@ -31,11 +31,13 @@ from .base import edge_segment_sum, halo_exchange, halo_mode, linear, mean_pool
 
 LEAKY_SLOPE = 0.2
 
-# Fully-fused local layer (softmax divide + skip + ELU + next projection in
-# the kernel epilogue). Measured SLOWER on v5e than kernel-message + XLA
-# glue (16.4 vs 9.9 µs/graph): at H·D = 64 the per-window epilogue matmuls
-# use half the MXU lanes and repeat per window, while XLA runs one big
-# batched [n, 64] matmul. Kept opt-in for wider-head configs.
+# Fully-fused local ELL layer (softmax divide + skip + ELU + next
+# projection in the kernel epilogue). On the round-2 ELL geometry it
+# measured SLOWER than kernel-message + XLA glue (16.4 vs 9.9 µs/graph) and
+# stays opt-in. The default single-chip path is now the slot-layout
+# whole-model megakernel (gat_local_model_slots), which fuses the same glue
+# across ALL layers in one pallas call — per-window epilogue matmuls
+# amortize there because nothing round-trips to HBM between layers.
 import os as _os
 
 FUSE_LAYERS = _os.environ.get("FLOWGNN_GAT_FUSE", "0") == "1"
