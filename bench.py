@@ -112,10 +112,14 @@ def main() -> None:
         # block — its VN star pushed k to 2; at W512/B2048 local is 2.2×
         # faster). PNA uses the dest-major slot layout.
         layout = args.layout or "local"
-        from flowgnn_tpu.models.base import ELL_GEOMETRY_DEFAULTS
+        from flowgnn_tpu.models.base import (
+            ELL_GEOMETRY_DEFAULTS, choose_window,
+        )
 
         gw, gb = ELL_GEOMETRY_DEFAULTS.get(name, (None, None))
-        ell_w = args.ell_window or gw or 512
+        ell_w = args.ell_window or choose_window(
+            name, max(g.num_nodes for g in graphs), gw or 512
+        )
         ell_b = args.ell_block or gb or 1536
         # Auto edge capacity (see core/graphs.auto_edge_capacity: a fixed
         # too-small cap silently halves bucket occupancy).

@@ -55,6 +55,21 @@ PALLAS_SLOTS = 8  # dest-major in-edge slots (PNA stats kernel)
 ELL_WPS_DEFAULTS: dict[str, int] = {}
 
 
+def choose_window(model: str, max_graph_nodes: int, default_w: int) -> int:
+    """Stream-aware window for the slot-layout models: when the largest
+    graph exceeds the tuned default window, bump to the smallest tuned
+    size that holds it (≤512) so nothing spills and the whole-model
+    megakernel stays engaged. Measured on hep10k (≤400-node graphs):
+    GAT 7.63→5.50, DGN 5.11→3.82 µs/graph at W512 vs spill-path W256 —
+    while the ELL models (GIN 4.06 vs 5.41) prefer their default window
+    plus the spill tail, so they are left alone."""
+    if model in ("gat", "dgn", "pna") and max_graph_nodes > default_w:
+        for w in (256, 384, 512):
+            if w >= default_w and w >= max_graph_nodes:
+                return w
+    return default_w
+
+
 def ell_wps(model: str) -> int:
     import os
 
