@@ -53,6 +53,35 @@ def test_degenerate_matches_oracle_f64(name, degenerate, reference_root):
     assert_allclose(out, expected, rtol=tol, atol=tol, msg=name)
 
 
+def test_degenerate_halo_forward(degenerate, reference_root):
+    """Halo edge sharding with chips that own ZERO real edges (bond-less
+    stream): empty boundary sets and all-zero exchanges must be no-ops."""
+    import jax
+
+    from flowgnn_tpu.core.graphs import pack_graphs
+    from flowgnn_tpu.parallel.halo import build_halo_batch
+    from flowgnn_tpu.parallel.inference import halo_forward, stack_halo_buckets
+    from flowgnn_tpu.parallel.mesh import make_mesh
+
+    edgeless = degenerate[:2]  # 1-node and 3-node graphs, zero edges total
+    spec = registry.get("gin")
+    params = spec.loader(os.path.join(reference_root, "GIN"))
+    jp = prepare_params(params, FLOAT32)
+    packed = pack_graphs(edgeless, **CAPS)
+    k = 4
+    if len(jax.devices()) < k:
+        pytest.skip("needs 4 fake devices")
+    stacked = stack_halo_buckets(
+        [build_halo_batch(packed, k=k, window=32, edge_slack=8.0)]
+    )
+    mesh = make_mesh(data=1, edge=k)
+    got = np.asarray(halo_forward(spec.forward, mesh, FLOAT32)(jp, stacked))[0]
+    expected = np.asarray(
+        jax.jit(lambda p, b: spec.forward(p, b, FLOAT32))(jp, as_batch(packed))
+    )
+    assert_allclose(got[:2], expected[:2], rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("name", ALL_MODELS)
 def test_degenerate_local_layout_equals_plain(
     name, degenerate, reference_root, monkeypatch
