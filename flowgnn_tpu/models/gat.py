@@ -119,7 +119,15 @@ def forward(
         # Whole-model megakernel: all L layers + glue in ONE pallas call
         # (gat_local_model_slots) — the slot one-hot gather is built once
         # and reused per layer, and no inter-layer tensor touches HBM.
-        from ..ops.pallas.local_layer import gat_local_model_slots
+        from ..ops.pallas.local_layer import (
+            gat_local_model_dense, gat_local_model_slots,
+        )
+
+        # Opt-in dense-attention variant (rank-1 score broadcast over a
+        # [W, W] multiplicity mask, per-head [W, W]@[W, D] aggregation —
+        # no feature gather). Read at trace time; pending TPU measurement.
+        dense = _os.environ.get("FLOWGNN_GAT_DENSE", "0") == "1"
+        model_kernel = gat_local_model_dense if dense else gat_local_model_slots
 
         hd = H * D
         cdt = prec.compute_dtype
@@ -144,7 +152,7 @@ def forward(
         # Head-average ∘ prediction head, pre-composed (both linear):
         # pred_hd[h·D+k, t] = pred_w[t, k] / H.
         pred_hd = jnp.tile(params["pred_w"].T / H, (H, 1)).astype(cdt)
-        pool = gat_local_model_slots(
+        pool = model_kernel(
             batch["slot_stack"], h.reshape(n, H * D),
             prev.reshape(n, H * D),
             jnp.concatenate([s_src, s_tgt], axis=1),

@@ -1897,6 +1897,154 @@ def gat_local_model_slots(
     return out
 
 
+def gat_local_model_dense(
+    slot_stack: jnp.ndarray,  # [NW·S·W] stacked dest-major sources, FLOAT dtype
+    h0: jnp.ndarray,  # [n, H·D] layer-0 projected features, head-major flat
+    prev0: jnp.ndarray,  # [n, H·D] raw-feature prev (head-0 slots)
+    s0: jnp.ndarray,  # [n, 2H] layer-0 (s_src ‖ s_tgt)
+    skip_w: jnp.ndarray,  # [L·HD, HD] right-mul skip weights, layer-major rows
+    proj_w: jnp.ndarray,  # [(L-1)·HD, HD] right-mul projections, layers 1..L-1
+    a_next: jnp.ndarray,  # [(L-1)·HD, 2H] score maps (a_src ‖ a_tgt), layers 1..L-1
+    pool_gl: jnp.ndarray,  # [NW·W] graph-local ids (base._attach_pool_layout)
+    pred_hd: jnp.ndarray,  # [HD, T] head-average ∘ prediction head, combined
+    window: int,
+    slots: int,
+    num_heads: int,
+    num_layers: int,
+    gmax: int,
+) -> jnp.ndarray:
+    """gat_local_model_slots with DENSE per-head attention (opt-in,
+    FLOWGNN_GAT_DENSE=1) — no feature gather at all.
+
+    Key identity: GAT's unnormalised score is a RANK-1 broadcast over the
+    window, raw[v,u] = s_src[v] + s_tgt[u] (GAT/src/message_passing.cc:
+    122-133 computes it per edge; here the whole [W, W] grid costs one
+    VPU broadcast). The slot one-hots collapse into a single [W, W]
+    edge-multiplicity mask (built once, reused all L layers), and each
+    head's aggregation becomes A_h @ h_h — H small [W, W]@[W, D] matmuls
+    — instead of the [S·W, W]@[W, HD+H] stacked gather: fewer MXU tiles
+    per layer (H·⌈W/128⌉²·⌈D/128⌉ vs S·⌈W/128⌉²·⌈(HD+H)/128⌉) and the
+    [S·W, ·] intermediate never exists. The denominator is each A_h's
+    row sum. Everything else (glue, finalize epilogue, input/output
+    contract) is identical to gat_local_model_slots.
+
+    One numerics delta vs the slot path: A_h is cast to the compute dtype
+    for the MXU matmul, so under bf16 the SCORES are bf16-quantized (the
+    slot path keeps them f32 and quantizes only the normalised message).
+    Identical in --f32 mode; within the model's bf16 drift envelope
+    otherwise.
+    """
+    n, hd = h0.shape
+    d = hd // num_heads
+    nh = num_heads
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    if pad:
+        h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+        prev0 = jnp.pad(prev0, ((0, pad), (0, 0)))
+        s0 = jnp.pad(s0, ((0, pad), (0, 0)))
+    cdt = h0.dtype
+    t_out = pred_hd.shape[1]
+    xcat = jnp.concatenate(
+        [h0, prev0, s0.astype(cdt), pool_gl[:, None].astype(cdt)], axis=1
+    )  # [NW·W, 2HD+2H+1]
+    sw = slots * window
+
+    def kernel(uslot_ref, x_ref, skip_ref, proj_ref, a_ref, predw_ref,
+               out_ref):
+        uslot = uslot_ref[:, 0].astype(jnp.float32)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1).astype(
+            jnp.float32
+        )
+        onehot = (uslot[:, None] == lanes).astype(jnp.float32)
+        # [W(dest), W(src)] edge multiplicity: sentinel slots match no lane.
+        mask = onehot[:window]
+        for s in range(1, slots):
+            mask = mask + onehot[s * window : (s + 1) * window]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 1) // d
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 0)
+        expand = (cols == rows).astype(jnp.float32)
+
+        h = x_ref[:, :hd]  # [W, HD] compute dtype
+        prev = x_ref[:, hd : 2 * hd]
+        s_src = x_ref[:, 2 * hd : 2 * hd + nh].astype(jnp.float32)
+        s_tgt = x_ref[:, 2 * hd + nh : 2 * hd + 2 * nh]
+        for l in range(num_layers):
+            nums, dens = [], []
+            s_tgt32 = s_tgt.astype(jnp.float32)
+            for hh in range(nh):
+                raw = s_src[:, hh][:, None] + s_tgt32[:, hh][None, :]
+                a_h = mask * jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+                nums.append(
+                    jnp.dot(
+                        a_h.astype(cdt), h[:, hh * d : (hh + 1) * d],
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+                dens.append(jnp.sum(a_h, axis=1, keepdims=True))
+            num = jnp.concatenate(nums, axis=1)  # [W, HD]
+            den = jnp.concatenate(dens, axis=1)  # [W, H]
+            den = jnp.where(den == 0, 1.0, den)
+            msg = num / jnp.dot(den, expand, preferred_element_type=jnp.float32)
+            msg = msg.astype(cdt).astype(jnp.float32)  # ≙ prec.q(msg)
+            skip = jnp.dot(
+                prev,
+                skip_ref[l * hd : (l + 1) * hd, :],
+                preferred_element_type=jnp.float32,
+            )
+            if l != num_layers - 1:
+                feat = msg + skip
+                feat = jnp.where(
+                    feat <= 0, jnp.exp(feat) - 1, feat
+                ).astype(cdt)  # ELU, ≙ prec.q(feat)
+                prev = feat
+                h = jnp.dot(
+                    feat,
+                    proj_ref[l * hd : (l + 1) * hd, :],
+                    preferred_element_type=jnp.float32,
+                ).astype(cdt)
+                scat = jnp.dot(
+                    h, a_ref[l * hd : (l + 1) * hd, :],
+                    preferred_element_type=jnp.float32,
+                )  # [W, 2H]
+                s_src = scat[:, :nh].astype(cdt).astype(jnp.float32)
+                s_tgt = scat[:, nh:].astype(cdt)
+            else:
+                out_ref[:] = _pool_epilogue(
+                    msg + skip, x_ref, 2 * hd + 2 * nh, predw_ref,
+                    window, gmax,
+                )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((sw, 1), lambda w: (w, 0)),
+            pl.BlockSpec((window, 2 * hd + 2 * nh + 1), lambda w: (w, 0)),
+            pl.BlockSpec(skip_w.shape, lambda w: (0, 0)),
+            pl.BlockSpec(proj_w.shape, lambda w: (0, 0)),
+            pl.BlockSpec(a_next.shape, lambda w: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2
+            * num_windows
+            * num_layers
+            * (nh * window * window * d + 2 * window * hd * hd),
+            bytes_accessed=num_windows
+            * (sw + window * (2 * hd + 2 * nh) * 4),
+            transcendentals=num_layers * num_windows * window * window * nh,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(slot_stack[:, None], xcat, skip_w, proj_w, a_next, pred_hd)
+    return out
+
+
 def dgn_local_layer_slots(
     slot_src: jnp.ndarray,  # [NW·W, S] per-dest in-edge sources (sentinel=window)
     h: jnp.ndarray,  # [n, D]

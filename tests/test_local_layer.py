@@ -349,3 +349,32 @@ def test_gat_dgn_local_slots_overflow(name, reference_root):
     )
     assert_allclose(np.asarray(slotted)[:1], np.asarray(plain)[:1],
                     rtol=1e-5, atol=1e-5, msg=name)
+
+
+def test_gat_dense_attention_equals_plain(graphs16, reference_root,
+                                          monkeypatch):
+    """Opt-in dense-attention megakernel (FLOWGNN_GAT_DENSE=1) == plain.
+
+    Includes a dead-wiring guard: corrupting the slot stack (the mask
+    source) must change the output."""
+    monkeypatch.setenv("FLOWGNN_GAT_DENSE", "1")
+    spec = registry.get("gat")
+    params = spec.loader(os.path.join(reference_root, "GAT"))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:4])
+    small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
+    plain = spec.forward(jp, as_batch(pack_graphs(tg, **small)), FLOAT32)
+    sbatch = as_batch(
+        pack_graphs_aligned(tg, window=256, **small),
+        blocked="local_slots", window=256,
+    )
+    dense = spec.forward(jp, sbatch, FLOAT32)
+    assert_allclose(np.asarray(dense)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5, msg="gat dense")
+    corrupt = dict(sbatch)
+    corrupt["slot_stack"] = np.where(
+        sbatch["slot_stack"] < 256, 0, sbatch["slot_stack"]
+    ).astype(sbatch["slot_stack"].dtype)
+    broken = spec.forward(jp, corrupt, FLOAT32)
+    assert not np.allclose(np.asarray(broken)[:4], np.asarray(plain)[:4],
+                           rtol=1e-5, atol=1e-5)
