@@ -22,11 +22,19 @@ _COMMON = ["conv_layer.cc", "message_passing.cc", "node_embedding.cc",
            "finalize.cc", "linear.cc", "load_inputs.cc", "globals.cc"]
 KERNEL_SOURCES = {
     "GIN": ["GIN_compute.cc"] + _COMMON,
+    # GIN-VN's kernel sources are byte-identical to GIN's (only the hosts
+    # differ — the VN augmentation is host-side, GIN-VN/src/host_load.cc:
+    # 129-153); compiled from GIN-VN/src anyway so the binary is the
+    # reference GIN-VN device, driven by gin_main.cc on a VN-augmented
+    # dataset with the GIN-VN weight binaries.
+    "GIN-VN": ["GIN_compute.cc"] + _COMMON,
     "GCN": ["GCN_compute.cc"] + _COMMON,
     "GAT": ["GAT_compute.cc"] + _COMMON,
     "PNA": ["PNA_compute.cc"] + _COMMON,
     "DGN": ["DGN_compute.cc"] + _COMMON,
 }
+# Host main driving each golden binary (default: <model>_main.cc).
+MAIN_SOURCES = {"GIN-VN": "gin_main.cc"}
 
 
 def build_golden(
@@ -37,9 +45,11 @@ def build_golden(
     src_dir = os.path.join(reference_root, model, "src")
     if not os.path.isdir(src_dir):
         return None
-    out_path = out_path or os.path.join(_HERE, f"{model.lower()}_golden")
+    slug = model.lower().replace("-", "_")
+    out_path = out_path or os.path.join(_HERE, f"{slug}_golden")
     sources = [os.path.join(src_dir, s) for s in KERNEL_SOURCES[model]]
-    sources.append(os.path.join(_HERE, f"{model.lower()}_main.cc"))
+    main = MAIN_SOURCES.get(model, f"{model.lower()}_main.cc")
+    sources.append(os.path.join(_HERE, main))
     newest_dep = max(
         os.path.getmtime(p)
         for p in sources + [os.path.join(_INCLUDE, h) for h in os.listdir(_INCLUDE)]

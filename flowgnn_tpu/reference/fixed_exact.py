@@ -72,6 +72,7 @@ def gin_forward_fixed_exact(params: dict, g: Graph) -> dict:
     # Input embedding: on-grid sum of 9 rows (load_inputs.cc:174-220).
     rows = g.node_feat + ATOM_FEATURE_OFFSETS[None, :]
     h = _check_range(nd[rows].sum(axis=1), "h0")
+    order = None  # built lazily, only when a message accumulator wraps
 
     for l in range(L):
         # Edge embedding: on-grid sum of 3 rows (message_passing.cc:136-146).
@@ -80,8 +81,19 @@ def gin_forward_fixed_exact(params: dict, g: Graph) -> dict:
         msg = np.maximum(h[u] + ee, 0.0)  # on-grid
         m = np.zeros((n, h.shape[1]), np.float64)
         np.add.at(m, v, msg)
-        _check_range(m, "message")
-        act = _check_range(m + h, "act")  # ε = 0 on device
+        if np.abs(m).max(initial=0) >= FX.max_val + 1:
+            # A dense destination (GIN-VN's virtual-node star) wraps the
+            # FM_TYPE message BRAM — replay per edge in the device's per-PE
+            # source-CSR order (load_inputs.cc:156-171; dest v lives in one
+            # PE so a stable sort by u reproduces each accumulator's adds).
+            # Messages are non-negative (relu), so the vectorized sum is
+            # exact precisely when no partial crossed the range.
+            if order is None:
+                order = _pe_source_order(u, v)
+            m = np.zeros((n, h.shape[1]), np.float64)
+            for e in order:
+                m[v[e]] = _q(m[v[e]] + msg[e])
+        act = _q(m + h)  # ε = 0 on device; the single add wraps on-grid
 
         # MLP-1: quantized products, partial sums wrapped per step in the
         # device's dim_in order (accs is FM_TYPE — node_embedding.cc:124-137).

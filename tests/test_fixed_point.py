@@ -54,6 +54,31 @@ def test_fixed_mode_tracks_float(name, graphs16, reference_root):
     assert rel.max() < limit, (name, rel.max(), a, b)
 
 
+def test_gin_vn_fixed_mode_saturates_on_grid(graphs16, reference_root):
+    """GIN-VN's fixed-mode rung: the float envelope claim does not apply.
+
+    The virtual-node star (GIN-VN/src/host_load.cc:129-153) sums messages
+    from every node into one accumulator; on synthetic random-feature
+    graphs that sum overflows ap_fixed<16,6>'s ±32 range in layer 0, where
+    the reference device WRAPS (AP_WRAP) — chaotic, order-dependent, and
+    pinned bit-for-bit by test_golden.py::test_gin_vn_bit_exact_vs_
+    reference_kernel via the per-PE wrap replay in fixed_exact.py. No
+    vectorized emulation can "track float" through a wrapped accumulator,
+    so this rung asserts what IS true of the emulation: saturating fixed
+    mode stays finite, exactly on the value grid, in range, and
+    deterministic.
+    """
+    spec = registry.get("gin-vn")
+    fx = spec.fixed_spec
+    a = _run("gin-vn", graphs16[:8], reference_root, Precision(fixed=fx))
+    b = _run("gin-vn", graphs16[:8], reference_root, Precision(fixed=fx))
+    np.testing.assert_array_equal(a, b)
+    assert np.all(np.isfinite(a))
+    scaled = a.astype(np.float64) * fx.scale
+    np.testing.assert_array_equal(scaled, np.round(scaled))
+    assert np.abs(a).max() <= fx.max_val + 1e-9
+
+
 @pytest.mark.parametrize("name,spec_fx", [("gin", AP_FIXED_16_6), ("dgn", AP_FIXED_16_3)])
 def test_fixed_outputs_on_grid(name, spec_fx, graphs16, reference_root):
     """Every fixed-mode output lies exactly on the ap_fixed value grid."""

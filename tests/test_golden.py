@@ -36,6 +36,28 @@ def test_gin_bit_exact_vs_reference_kernel(golden_binary, tmp_path, reference_ro
     np.testing.assert_array_equal(ours, golden)
 
 
+def test_gin_vn_bit_exact_vs_reference_kernel(tmp_path, reference_root):
+    """GIN-VN golden rung: the reference GIN-VN device is the GIN kernel
+    compiled from GIN-VN/src (byte-identical sources) run on host-side
+    VN-augmented graphs with the GIN-VN weight binaries
+    (GIN-VN/src/host_load.cc:129-153). Our side applies the same transform
+    (core.graphs.add_virtual_node) and runs the GIN fixed-exact oracle on
+    the transformed graphs — bit for bit."""
+    from flowgnn_tpu.core.graphs import add_virtual_node
+    from flowgnn_tpu.golden import build_golden, run_golden
+
+    if build_golden("GIN-VN", reference_root) is None:
+        pytest.skip("golden binary unavailable")
+    graphs = [add_virtual_node(g) for g in synthetic_molhiv(16, seed=42)]
+    gio.write_dataset(str(tmp_path), graphs)
+    golden = run_golden("GIN-VN", str(tmp_path), 16, reference_root)
+    params = registry.get("gin-vn").loader(f"{reference_root}/GIN-VN")
+    ours = np.array(
+        [gin_forward_fixed_exact(params, g)["out"][0] for g in graphs]
+    )
+    np.testing.assert_array_equal(ours, golden)
+
+
 def test_fixed_exact_tracks_float_mode(reference_root):
     """The bit-exact oracle stays within the coarse fixed-mode envelope."""
     from flowgnn_tpu.reference.oracles import gin_forward
