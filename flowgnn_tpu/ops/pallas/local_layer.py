@@ -1931,8 +1931,10 @@ def gat_local_model_dense(
     One numerics delta vs the slot path: A_h is cast to the compute dtype
     for the MXU matmul, so under bf16 the SCORES are bf16-quantized (the
     slot path keeps them f32 and quantizes only the normalised message).
-    Identical in --f32 mode; within the model's bf16 drift envelope
-    otherwise.
+    Numerator and denominator both consume the SAME cast weights, so the
+    normalised attention rows sum to exactly 1 in every mode. Identical
+    to the slot path in --f32 mode; within the model's bf16 drift
+    envelope otherwise.
     """
     n, hd = h0.shape
     d = hd // num_heads
@@ -1974,14 +1976,29 @@ def gat_local_model_dense(
             s_tgt32 = s_tgt.astype(jnp.float32)
             for hh in range(nh):
                 raw = s_src[:, hh][:, None] + s_tgt32[:, hh][None, :]
-                a_h = mask * jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+                # Suppress non-edges BEFORE the exp: a masked-out pair whose
+                # raw score exceeds ~88 would overflow f32 exp to inf, and
+                # mask·inf = 0·inf = NaN (the slot path only exponentiates
+                # realized edges; this keeps the dense path's overflow
+                # surface identical to it).
+                a_h = jnp.where(
+                    mask > 0,
+                    mask * jnp.exp(jnp.where(raw < 0, raw * 0.2, raw)),
+                    0.0,
+                )
+                # Cast ONCE so numerator matmul and denominator row-sum see
+                # the same (compute-dtype-quantized) attention weights —
+                # normalised rows then sum to exactly 1 in bf16 mode too.
+                a_c = a_h.astype(cdt)
                 nums.append(
                     jnp.dot(
-                        a_h.astype(cdt), h[:, hh * d : (hh + 1) * d],
+                        a_c, h[:, hh * d : (hh + 1) * d],
                         preferred_element_type=jnp.float32,
                     )
                 )
-                dens.append(jnp.sum(a_h, axis=1, keepdims=True))
+                dens.append(
+                    jnp.sum(a_c.astype(jnp.float32), axis=1, keepdims=True)
+                )
             num = jnp.concatenate(nums, axis=1)  # [W, HD]
             den = jnp.concatenate(dens, axis=1)  # [W, H]
             den = jnp.where(den == 0, 1.0, den)

@@ -378,3 +378,63 @@ def test_gat_dense_attention_equals_plain(graphs16, reference_root,
     broken = spec.forward(jp, corrupt, FLOAT32)
     assert not np.allclose(np.asarray(broken)[:4], np.asarray(plain)[:4],
                            rtol=1e-5, atol=1e-5)
+    # bf16 parity (ADVICE r2): the dense kernel's numerator matmul and
+    # denominator row-sum consume the SAME compute-dtype-cast attention
+    # weights, so its bf16 drift stays within the slot path's envelope.
+    from flowgnn_tpu.core.numerics import BF16
+
+    jb = prepare_params(params, BF16)
+    dense16 = spec.forward(jb, sbatch, BF16)
+    monkeypatch.setenv("FLOWGNN_GAT_DENSE", "0")
+    slots16 = spec.forward(jb, sbatch, BF16)
+    assert_allclose(
+        np.asarray(dense16, np.float32)[:4],
+        np.asarray(slots16, np.float32)[:4],
+        rtol=0.05, atol=0.05, msg="gat dense bf16 vs slots bf16",
+    )
+
+
+def test_gat_dense_masked_exp_overflow_stays_finite():
+    """ADVICE r2: a NON-edge (dest, src) pair whose raw score exceeds ~88
+    must not poison the dense kernel (exp → inf, 0·inf = NaN). Scores are
+    fabricated so every realized edge scores small but one non-edge pair
+    scores raw = 200; the aggregation must stay finite and equal a run
+    where that pair's scores are benign (non-edges contribute nothing)."""
+    import jax.numpy as jnp
+
+    from flowgnn_tpu.models.base import POOL_GMAX
+    from flowgnn_tpu.ops.pallas.local_layer import gat_local_model_dense
+
+    window, slots, nh, d, L = 128, 2, 1, 16, 2
+    hd = nh * d
+    n = window
+    rng = np.random.default_rng(3)
+    # One ring graph over nodes 0..7 (u → u+1 mod 8) in slot 0.
+    slot_stack = np.full(slots * window, float(window), np.float32)
+    for v in range(8):
+        slot_stack[v] = float((v - 1) % 8)
+    h0 = rng.normal(size=(n, hd)).astype(np.float32) * 0.1
+    prev0 = rng.normal(size=(n, hd)).astype(np.float32) * 0.1
+    s0 = np.zeros((n, 2 * nh), np.float32)
+    # Node 20 has no in-edges (huge s_src); node 30 no out-edges (huge
+    # s_tgt): the non-edge pair (dest=20, src=30) raws 200 → exp overflow.
+    s0[20, 0] = 100.0
+    s0[30, 1] = 100.0
+    skip_w = np.concatenate([np.eye(hd) * 0.1] * L, axis=0).astype(np.float32)
+    proj_w = np.eye(hd).astype(np.float32)
+    a_next = rng.normal(size=((L - 1) * hd, 2 * nh)).astype(np.float32) * 0.01
+    pool_gl = np.zeros(n, np.float32)
+    pred_hd = rng.normal(size=(hd, 1)).astype(np.float32)
+    args = lambda s: (
+        jnp.asarray(slot_stack), jnp.asarray(h0), jnp.asarray(prev0),
+        jnp.asarray(s), jnp.asarray(skip_w), jnp.asarray(proj_w),
+        jnp.asarray(a_next), jnp.asarray(pool_gl), jnp.asarray(pred_hd),
+        window, slots, nh, L, POOL_GMAX,
+    )
+    hot = np.asarray(gat_local_model_dense(*args(s0)))
+    assert np.all(np.isfinite(hot)), hot
+    benign = s0.copy()
+    benign[20, 0] = 0.0
+    benign[30, 1] = 0.0
+    cold = np.asarray(gat_local_model_dense(*args(benign)))
+    np.testing.assert_allclose(hot, cold, rtol=1e-6, atol=1e-6)
