@@ -1,0 +1,341 @@
+"""GAT whole-model megakernel ablation — in-kernel stage knockouts.
+
+The megakernel runs everything in one pallas call, so stage costs can only
+be isolated by compiling VARIANTS of the kernel with one stage disabled
+(or replaced) and timing each on the chip with the shared chained-carry
+protocol (one process → one relay floor for all rows):
+
+  noop      — empty chained program (the relay floor per rep)
+  slots     — the production gat_local_model_slots kernel (round-3:
+              fused glue matmul + XLA-hoisted layer-0 skip)
+  dense     — the production gat_local_model_dense kernel
+  full      — this tool's replica of the ROUND-2 (v1) slot kernel: the
+              head-major / expand-matmul / 3-glue-matmul formulation the
+              v2 restructure replaced — kept as the measured baseline
+  noexp     — score = raw·valid (leaky+exp removed → transcendental cost)
+  nogather  — the [S·W, W]@[W, HD+H] one-hot gather replaced by a tile
+              (uslot still consumed via the valid mask, so the slot-stack
+              DMA is retained)
+  noexpand  — the per-slot [W, H]@[H, HD] head-expand matmuls replaced by
+              a single-column broadcast
+  repeat    — MATH-IDENTICAL candidate: expand matmuls replaced by
+              jnp.repeat(score, D, axis=1) lane-replication. NON-VIABLE:
+              Mosaic cannot lower the implied (W, H, D)→(W, HD) shape
+              cast ("infer-vector-layout: unsupported shape cast"), so
+              the head-broadcast must stay a matmul — kept out of the
+              default list as a recorded dead end
+  noglue    — skip/proj/score matmuls between layers removed
+  nopool    — the in-kernel finalize epilogue removed
+
+Subtract noop, then (full − variant) is the stage's device cost per pass.
+
+Run: ``python -m flowgnn_tpu.bench.ablate_gat_mega [--reps 100]
+[--trials 3] [--ell-window W] [--variants full,noexp,...]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+import numpy as np
+
+
+def _variant_model(variant: str, window: int, slots: int, num_heads: int,
+                   num_layers: int, gmax: int):
+    """Build a gat_local_model_slots replica with one stage knocked out.
+
+    Mirrors ops/pallas/local_layer.py:gat_local_model_slots — kept in the
+    bench tree on purpose: the production kernel stays unpolluted by
+    ablation flags, and `full` is timed against it as drift guard.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def model(slot_stack, h0, prev0, s0, skip_w, proj_w, a_next, pool_gl,
+              pred_hd):
+        from ..ops.pallas.local_layer import _pool_epilogue
+
+        n, hd = h0.shape
+        d = hd // num_heads
+        nh = num_heads
+        num_windows = -(-n // window)
+        pad = num_windows * window - n
+        if pad:
+            h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+            prev0 = jnp.pad(prev0, ((0, pad), (0, 0)))
+            s0 = jnp.pad(s0, ((0, pad), (0, 0)))
+        cdt = h0.dtype
+        t_out = pred_hd.shape[1]
+        xcat = jnp.concatenate(
+            [h0, prev0, s0.astype(cdt), pool_gl[:, None].astype(cdt)], axis=1
+        )
+        sw = slots * window
+
+        def kernel(uslot_ref, x_ref, skip_ref, proj_ref, a_ref, predw_ref,
+                   out_ref):
+            uslot = uslot_ref[:, 0].astype(jnp.float32)
+            lanes = jax.lax.broadcasted_iota(
+                jnp.int32, (sw, window), 1
+            ).astype(jnp.float32)
+            valid_all = (uslot < float(window))[:, None].astype(jnp.float32)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 1) // d
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 0)
+            expand = (cols == rows).astype(jnp.float32)
+
+            h = x_ref[:, :hd]
+            prev = x_ref[:, hd : 2 * hd]
+            s_src = x_ref[:, 2 * hd : 2 * hd + nh].astype(jnp.float32)
+            s_tgt = x_ref[:, 2 * hd + nh : 2 * hd + 2 * nh]
+            if variant != "nogather":
+                onehot = (uslot[:, None] == lanes).astype(cdt)
+            for l in range(num_layers):
+                hcat = jnp.concatenate([h, s_tgt.astype(cdt)], axis=1)
+                if variant == "nogather":
+                    hu_all = jnp.concatenate(
+                        [hcat.astype(jnp.float32)] * slots, axis=0
+                    )
+                else:
+                    hu_all = jnp.dot(
+                        onehot, hcat, preferred_element_type=jnp.float32
+                    )
+                num = jnp.zeros((window, hd), jnp.float32)
+                den = jnp.zeros((window, nh), jnp.float32)
+                for s in range(slots):
+                    sl = slice(s * window, (s + 1) * window)
+                    h_u = hu_all[sl, :hd]
+                    s2 = hu_all[sl, hd:]
+                    raw = s_src + s2
+                    if variant == "noexp":
+                        score = raw * valid_all[sl]
+                    else:
+                        score = (
+                            jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+                            * valid_all[sl]
+                        )
+                    if variant == "noexpand":
+                        num += score[:, :1] * h_u
+                    elif variant == "repeat":
+                        num += jnp.repeat(score, d, axis=1) * h_u
+                    else:
+                        num += jnp.dot(
+                            score, expand, preferred_element_type=jnp.float32
+                        ) * h_u
+                    den += score
+                den = jnp.where(den == 0, 1.0, den)
+                if variant == "noexpand":
+                    msg = num / den[:, :1]
+                elif variant == "repeat":
+                    msg = num / jnp.repeat(den, d, axis=1)
+                else:
+                    msg = num / jnp.dot(
+                        den, expand, preferred_element_type=jnp.float32
+                    )
+                msg = msg.astype(cdt).astype(jnp.float32)
+                if variant == "noglue":
+                    if l != num_layers - 1:
+                        h = msg.astype(cdt)
+                        prev = h
+                    else:
+                        out_ref[:] = _pool_epilogue(
+                            msg, x_ref, 2 * hd + 2 * nh, predw_ref,
+                            window, gmax,
+                        )
+                    continue
+                skip = jnp.dot(
+                    prev,
+                    skip_ref[l * hd : (l + 1) * hd, :],
+                    preferred_element_type=jnp.float32,
+                )
+                if l != num_layers - 1:
+                    feat = msg + skip
+                    feat = jnp.where(
+                        feat <= 0, jnp.exp(feat) - 1, feat
+                    ).astype(cdt)
+                    prev = feat
+                    h = jnp.dot(
+                        feat,
+                        proj_ref[l * hd : (l + 1) * hd, :],
+                        preferred_element_type=jnp.float32,
+                    ).astype(cdt)
+                    scat = jnp.dot(
+                        h, a_ref[l * hd : (l + 1) * hd, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    s_src = scat[:, :nh].astype(cdt).astype(jnp.float32)
+                    s_tgt = scat[:, nh:].astype(cdt)
+                else:
+                    if variant == "nopool":
+                        ms = msg + skip
+                        out_ref[:] = ms[:gmax, :t_out]
+                    else:
+                        out_ref[:] = _pool_epilogue(
+                            msg + skip, x_ref, 2 * hd + 2 * nh, predw_ref,
+                            window, gmax,
+                        )
+
+        return pl.pallas_call(
+            kernel,
+            grid=(num_windows,),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+            in_specs=[
+                pl.BlockSpec((sw, 1), lambda w: (w, 0)),
+                pl.BlockSpec(
+                    (window, 2 * hd + 2 * nh + 1), lambda w: (w, 0)
+                ),
+                pl.BlockSpec(skip_w.shape, lambda w: (0, 0)),
+                pl.BlockSpec(proj_w.shape, lambda w: (0, 0)),
+                pl.BlockSpec(a_next.shape, lambda w: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (num_windows * gmax, t_out), jnp.float32
+            ),
+            interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+        )(slot_stack[:, None], xcat, skip_w, proj_w, a_next, pred_hd)
+
+    return model
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=100)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--graphs", type=int, default=1028)
+    ap.add_argument("--ell-window", type=int, default=None)
+    ap.add_argument(
+        "--variants",
+        default="slots,dense,full,noexp,nogather,noexpand,noglue,nopool",
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from ..core.graphs import auto_edge_capacity, pack_dataset
+    from ..core.numerics import BF16
+    from ..core.synthetic import synthetic_dataset
+    from ..models import registry
+    from ..models.base import (
+        ELL_GEOMETRY_DEFAULTS, POOL_GMAX, as_batch, choose_window,
+        prepare_params,
+    )
+    from ..models.gat import _project, _scores, megakernel_operands
+    from ..ops.pallas.local_layer import (
+        gat_local_model_dense, gat_local_model_slots,
+    )
+
+    prec = BF16
+    spec = registry.get("gat")
+    params = prepare_params(spec.loader("/root/reference/GAT"), prec)
+    graphs = registry.apply_transforms(
+        spec, synthetic_dataset("molhiv", seed=0, num_graphs=args.graphs)
+    )
+    gw, _ = ELL_GEOMETRY_DEFAULTS["gat"]
+    window = args.ell_window or choose_window(
+        "gat", max(g.num_nodes for g in graphs), gw
+    )
+    ec = auto_edge_capacity(graphs, 32768)
+    (bucket,) = pack_dataset(
+        graphs, node_capacity=32768, edge_capacity=ec, graph_capacity=2048,
+        align_window=window,
+    )
+    batch = as_batch(bucket, blocked="local_slots", window=window)
+    n_slots = int(batch["slot_geom"].shape[-1])
+    assert batch["slot_spill"].shape[-1] == 0, "ablation expects no spill"
+
+    L, H, D = params["proj_w"].shape[:3]
+    n = batch["node_feat"].shape[0]
+    prev = jnp.zeros((n, H, D), prec.compute_dtype)
+    prev = prev.at[:, 0, :9].set(batch["node_feat"].astype(prec.compute_dtype))
+    h = _project(params["proj_w"][0], prev, prec)
+    s0 = jnp.concatenate(
+        [_scores(h, params["a_src"][0], prec),
+         _scores(h, params["a_tgt"][0], prec)], axis=1,
+    )
+    ops = megakernel_operands(params, prec)
+    skip0 = jnp.dot(
+        prev.reshape(n, H * D), ops["skip0_w"],
+        preferred_element_type=jnp.float32,
+    )
+    common = dict(
+        slot_stack=batch["slot_stack"], h0=h.reshape(n, H * D),
+        prev0=prev.reshape(n, H * D), s0=s0,
+        skip_w=ops["skip_w"], proj_w=ops["proj_w"], a_next=ops["a_next"],
+        pool_gl=jnp.asarray(batch["pool_gl"]), pred_hd=ops["pred_hd"],
+        skip0=skip0, glue_w=ops["glue_w"],
+    )
+
+    def timed(run_fn):
+        def one(c):
+            a = dict(common)
+            a["h0"] = a["h0"] + c
+            out = run_fn(**a)
+            return c + (out[0, 0] * 0).astype(c.dtype)
+
+        trial = jax.jit(
+            lambda c: jax.lax.fori_loop(
+                0, args.reps, lambda i, cc: one(cc), c
+            )
+        )
+        c0 = jnp.zeros((), prec.compute_dtype)
+        np.asarray(trial(c0))
+        best = 1e9
+        for _ in range(args.trials):
+            t0 = time.perf_counter()
+            np.asarray(trial(c0))
+            best = min(best, (time.perf_counter() - t0) / args.reps)
+        return best
+
+    def noop_fn(**a):
+        return a["h0"] * 0 + 1
+
+    geom = (window, n_slots, H, L, POOL_GMAX)
+    prod = dict(
+        slots=lambda **a: gat_local_model_slots(
+            a["slot_stack"], a["h0"], a["skip0"], a["s0"], a["glue_w"],
+            a["pool_gl"], a["pred_hd"], *geom
+        ),
+        dense=lambda **a: gat_local_model_dense(
+            a["slot_stack"], a["h0"], a["prev0"], a["s0"], a["skip_w"],
+            a["proj_w"], a["a_next"], a["pool_gl"], a["pred_hd"], *geom
+        ),
+    )
+
+    rows = [("noop", timed(noop_fn))]
+    for v in args.variants.split(","):
+        fn = prod.get(v) or (
+            lambda _v: (
+                lambda **a: _variant_model(_v, *geom)(
+                    a["slot_stack"], a["h0"], a["prev0"], a["s0"],
+                    a["skip_w"], a["proj_w"], a["a_next"], a["pool_gl"],
+                    a["pred_hd"],
+                )
+            )
+        )(v)
+        rows.append((v, timed(fn)))
+
+    noop = rows[0][1]
+    full = dict(rows).get("full")
+    print(f"window={window} slots={n_slots} graphs={args.graphs} "
+          f"reps={args.reps} (us/pass, noop-subtracted; Δfull)")
+    for name, t in rows:
+        dev = (t - noop) * 1e6
+        delta = f"  Δ{(dict(rows)['full'] - t) * 1e6:+9.1f}" if (
+            full is not None and name not in ("noop",)
+        ) else ""
+        print(f"  {name:9s} {t * 1e6:9.1f}  dev {dev:9.1f}{delta}")
+
+
+if __name__ == "__main__":
+    main()

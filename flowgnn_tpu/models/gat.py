@@ -69,6 +69,69 @@ def _scores(h: jnp.ndarray, a: jnp.ndarray, prec: Precision) -> jnp.ndarray:
     return prec.q(jnp.einsum("nhd,hd->nh", h, a).astype(prec.compute_dtype))
 
 
+def megakernel_operands(params: dict, prec: Precision) -> dict:
+    """Weight operands for the whole-model megakernels: right-multiplied
+    skip/projection stacks, the per-layer score maps expanded to one
+    [HD, 2H] matmul each, and the head-average ∘ prediction head
+    pre-composed (both linear). Shared by gat.forward and the megakernel
+    ablation harness (bench/ablate_gat_mega.py).
+
+    Besides the per-matrix operands (``skip_w``/``proj_w``/``a_next``,
+    used by the dense kernel and the v1 ablation replica), the production
+    slot megakernel consumes the round-3 FUSED forms: ``skip0_w``
+    (layer-0 skip, applied by the caller as one XLA matmul at pack scale)
+    and ``glue_w`` (per layer l, [skip_{l+1} ‖ proj_{l+1} ‖
+    proj_{l+1}@a_{l+1}] fused into one [HD, 2HD+2H] right-multiplication
+    — one in-kernel matmul instead of three)."""
+    L, H, D = params["proj_w"].shape[:3]
+    hd = H * D
+    cdt = prec.compute_dtype
+    skip_w = (
+        params["skip_w"].reshape(L, hd, hd).transpose(0, 2, 1)
+        .reshape(L * hd, hd).astype(cdt)
+    )
+    proj_w = (
+        params["proj_w"][1:].reshape(L - 1, hd, hd).transpose(0, 2, 1)
+        .reshape((L - 1) * hd, hd).astype(cdt)
+    )
+    eye = jnp.eye(H, dtype=cdt)
+
+    def _amat(a):  # [L-1, H, D] → [(L-1)·HD, H]
+        return (a[:, :, :, None] * eye[None, :, None, :]).reshape(
+            (L - 1) * hd, H
+        ).astype(cdt)
+
+    a_next = jnp.concatenate(
+        [_amat(params["a_src"][1:]), _amat(params["a_tgt"][1:])], axis=1
+    )
+    # Head-average ∘ prediction head, pre-composed (both linear):
+    # pred_hd[h·D+k, t] = pred_w[t, k] / H.
+    pred_hd = jnp.tile(params["pred_w"].T / H, (H, 1)).astype(cdt)
+
+    glue = []
+    for l in range(L - 1):
+        p_l = proj_w[l * hd : (l + 1) * hd]
+        glue.append(
+            jnp.concatenate(
+                [
+                    skip_w[(l + 1) * hd : (l + 2) * hd],
+                    p_l,
+                    jnp.dot(
+                        p_l.astype(jnp.float32),
+                        a_next[l * hd : (l + 1) * hd].astype(jnp.float32),
+                    ).astype(cdt),
+                ],
+                axis=1,
+            )
+        )
+    return dict(
+        skip_w=skip_w, proj_w=proj_w, a_next=a_next, pred_hd=pred_hd,
+        skip0_w=skip_w[:hd],
+        glue_w=jnp.concatenate(glue, axis=0) if glue else
+        jnp.zeros((0, 2 * hd + 2 * H), cdt),
+    )
+
+
 def forward(
     params: dict,
     batch: dict,
@@ -129,37 +192,33 @@ def forward(
         dense = _os.environ.get("FLOWGNN_GAT_DENSE", "0") == "1"
         model_kernel = gat_local_model_dense if dense else gat_local_model_slots
 
-        hd = H * D
-        cdt = prec.compute_dtype
-        skip_w = (
-            params["skip_w"].reshape(L, hd, hd).transpose(0, 2, 1)
-            .reshape(L * hd, hd).astype(cdt)
-        )
-        proj_w = (
-            params["proj_w"][1:].reshape(L - 1, hd, hd).transpose(0, 2, 1)
-            .reshape((L - 1) * hd, hd).astype(cdt)
-        )
-        eye = jnp.eye(H, dtype=cdt)
+        ops = megakernel_operands(params, prec)
+        if dense:
+            pool = model_kernel(
+                batch["slot_stack"], h.reshape(n, H * D),
+                prev.reshape(n, H * D),
+                jnp.concatenate([s_src, s_tgt], axis=1),
+                ops["skip_w"], ops["proj_w"], ops["a_next"],
+                jnp.asarray(batch["pool_gl"]), ops["pred_hd"],
+                window, n_slots, H, L, _base.POOL_GMAX,
+            )
+        else:
+            # Fused glue (see gat_local_model_slots). Layer-0's skip term
+            # runs as one XLA matmul at pack scale and rides the feature
+            # tile in place of prev0.
+            from .base import acc_dtype
 
-        def _amat(a):  # [L-1, H, D] → [(L-1)·HD, H]
-            return (a[:, :, :, None] * eye[None, :, None, :]).reshape(
-                (L - 1) * hd, H
-            ).astype(cdt)
-
-        a_next = jnp.concatenate(
-            [_amat(params["a_src"][1:]), _amat(params["a_tgt"][1:])], axis=1
-        )
-        # Head-average ∘ prediction head, pre-composed (both linear):
-        # pred_hd[h·D+k, t] = pred_w[t, k] / H.
-        pred_hd = jnp.tile(params["pred_w"].T / H, (H, 1)).astype(cdt)
-        pool = model_kernel(
-            batch["slot_stack"], h.reshape(n, H * D),
-            prev.reshape(n, H * D),
-            jnp.concatenate([s_src, s_tgt], axis=1),
-            skip_w, proj_w, a_next,
-            jnp.asarray(batch["pool_gl"]), pred_hd,
-            window, n_slots, H, L, _base.POOL_GMAX,
-        )
+            skip0 = jnp.dot(
+                prev.reshape(n, H * D), ops["skip0_w"],
+                preferred_element_type=acc_dtype(prec),
+            )
+            pool = model_kernel(
+                batch["slot_stack"], h.reshape(n, H * D), skip0,
+                jnp.concatenate([s_src, s_tgt], axis=1),
+                ops["glue_w"],
+                jnp.asarray(batch["pool_gl"]), ops["pred_hd"],
+                window, n_slots, H, L, _base.POOL_GMAX,
+            )
         return _base.pool_finish(pool, batch, params["pred_b"], prec)
     for l in range(L if out_feat is None else 0):
         if slots_mode:

@@ -1745,11 +1745,10 @@ def gat_local_message_slots(
 def gat_local_model_slots(
     slot_stack: jnp.ndarray,  # [NW·S·W] stacked dest-major sources, FLOAT dtype
     h0: jnp.ndarray,  # [n, H·D] layer-0 projected features, head-major flat
-    prev0: jnp.ndarray,  # [n, H·D] raw-feature prev (head-0 slots)
+    skip0: jnp.ndarray,  # [n, H·D] layer-0 skip term (prev0 @ skip_w[0])
     s0: jnp.ndarray,  # [n, 2H] layer-0 (s_src ‖ s_tgt)
-    skip_w: jnp.ndarray,  # [L·HD, HD] right-mul skip weights, layer-major rows
-    proj_w: jnp.ndarray,  # [(L-1)·HD, HD] right-mul projections, layers 1..L-1
-    a_next: jnp.ndarray,  # [(L-1)·HD, 2H] score maps (a_src ‖ a_tgt), layers 1..L-1
+    glue_w: jnp.ndarray,  # [(L-1)·HD, 2HD+2H] fused per-layer glue:
+    #                       [skip_{l+1} ‖ proj_{l+1} ‖ proj_{l+1}@a_{l+1}]
     pool_gl: jnp.ndarray,  # [NW·W] graph-local ids (base._attach_pool_layout)
     pred_hd: jnp.ndarray,  # [HD, T] head-average ∘ prediction head, combined
     window: int,
@@ -1763,22 +1762,36 @@ def gat_local_model_slots(
 
     Window-aligned packing keeps every edge in-window, so a window's whole
     forward pass is independent of every other window: one grid step runs
-    all L attention layers for its window with h/prev/scores living in
-    VMEM/registers throughout. Per pass this removes (L-1) pallas call
-    floors (~60-70 µs each on the relay), (L-1)× the [S·W, 1] slot-index
-    DMA (the single largest input — the one-hot gather matrix is built
-    ONCE and reused by every layer, since graph topology does not change
-    between layers), and every inter-layer [n, H·D] HBM round trip
-    (msg/skip/feat/h/scores — the XLA glue). Message math is identical to
-    gat_local_message_slots (raw-exp softmax, in-kernel divide,
-    GAT/src/message_passing.cc:122-148); glue math mirrors models/gat.py's
-    per-layer path (skip-proj + ELU ≙ GAT/src/node_embedding.cc:156-196,
-    next-layer projection + scores ≙ node_embedding.cc:230-268). The
-    finalize stage (head-average ≙ finalize.cc:90-110, prediction matvec,
-    per-window mean-pool partials) runs in-kernel via _pool_epilogue —
-    ``pred_hd`` pre-composes the head-average map with the prediction
-    head (both linear). Returns per-(window, graph-slot) prediction SUMS
-    [NW·GMAX, T] f32 for base.pool_finish.
+    all L attention layers for its window with h/scores living in
+    VMEM/registers throughout, and the one-hot gather matrix is built ONCE
+    and reused by every layer (topology is layer-invariant). Message math
+    is identical to gat_local_message_slots (raw-exp softmax, in-kernel
+    divide, GAT/src/message_passing.cc:122-148); glue math mirrors
+    models/gat.py's per-layer path (skip-proj + ELU ≙
+    GAT/src/node_embedding.cc:156-196, next projection + scores ≙
+    node_embedding.cc:230-268); the finalize stage (head-average ≙
+    finalize.cc:90-110, prediction matvec, per-window mean-pool partials)
+    runs in-kernel via _pool_epilogue. Returns per-(window, graph-slot)
+    prediction SUMS [NW·GMAX, T] f32 for base.pool_finish.
+
+    Round-3 glue restructure (measured via bench/ablate_gat_mega.py —
+    each in-kernel matmul pays ~K cycles of MXU weight load on top of its
+    M-row streaming, so invocation count matters as much as tiles):
+
+      * FUSED GLUE: skip_{l+1}, proj_{l+1} and the score map a_{l+1} all
+        consume the same operand feat_l, so one [W, HD] @ [HD, 2HD+2H]
+        matmul (``glue_w``) replaces three. scat = feat@(proj@a) commutes
+        the cdt-cast of h out of the score matmul — identical in f32 up
+        to one rounding; under bf16 the next layer's scores see the
+        unquantized projection (documented delta, within the bf16 drift
+        envelope).
+      * Layer-0's skip term is ONE XLA matmul at pack scale (``skip0``
+        rides the feature tile in place of the old prev0 — same width).
+
+    A dim-major-lane variant that replaced the per-slot [W, H] → [W, HD]
+    score-expand matmuls with ``pltpu.repeat`` measured 4.4× SLOWER
+    (Mosaic lowers the 16× lane replication pathologically) — the expand
+    matmuls stay (K=4, negligible weight load).
 
     No-spill only (caller falls back to the per-layer path when the batch
     has window-crossing edges, where per-layer spill terms must merge
@@ -1791,17 +1804,17 @@ def gat_local_model_slots(
     pad = num_windows * window - n
     if pad:
         h0 = jnp.pad(h0, ((0, pad), (0, 0)))
-        prev0 = jnp.pad(prev0, ((0, pad), (0, 0)))
+        skip0 = jnp.pad(skip0, ((0, pad), (0, 0)))
         s0 = jnp.pad(s0, ((0, pad), (0, 0)))
     cdt = h0.dtype
     t_out = pred_hd.shape[1]
     xcat = jnp.concatenate(
-        [h0, prev0, s0.astype(cdt), pool_gl[:, None].astype(cdt)], axis=1
+        [h0, skip0.astype(cdt), s0.astype(cdt),
+         pool_gl[:, None].astype(cdt)], axis=1
     )  # [NW·W, 2HD+2H+1]
     sw = slots * window
 
-    def kernel(uslot_ref, x_ref, skip_ref, proj_ref, a_ref, predw_ref,
-               out_ref):
+    def kernel(uslot_ref, x_ref, glue_ref, predw_ref, out_ref):
         uslot = uslot_ref[:, 0].astype(jnp.float32)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1).astype(
             jnp.float32
@@ -1813,7 +1826,7 @@ def gat_local_model_slots(
         expand = (cols == rows).astype(jnp.float32)
 
         h = x_ref[:, :hd]  # [W, HD] compute dtype
-        prev = x_ref[:, hd : 2 * hd]
+        skip = x_ref[:, hd : 2 * hd].astype(jnp.float32)
         s_src = x_ref[:, 2 * hd : 2 * hd + nh].astype(jnp.float32)
         s_tgt = x_ref[:, 2 * hd + nh : 2 * hd + 2 * nh]
         for l in range(num_layers):
@@ -1839,26 +1852,19 @@ def gat_local_model_slots(
             den = jnp.where(den == 0, 1.0, den)
             msg = num / jnp.dot(den, expand, preferred_element_type=jnp.float32)
             msg = msg.astype(cdt).astype(jnp.float32)  # ≙ prec.q(msg)
-            skip = jnp.dot(
-                prev,
-                skip_ref[l * hd : (l + 1) * hd, :],
-                preferred_element_type=jnp.float32,
-            )
             if l != num_layers - 1:
                 feat = msg + skip
                 feat = jnp.where(
                     feat <= 0, jnp.exp(feat) - 1, feat
                 ).astype(cdt)  # ELU, ≙ prec.q(feat)
-                prev = feat
-                h = jnp.dot(
+                g = jnp.dot(
                     feat,
-                    proj_ref[l * hd : (l + 1) * hd, :],
+                    glue_ref[l * hd : (l + 1) * hd, :],
                     preferred_element_type=jnp.float32,
-                ).astype(cdt)
-                scat = jnp.dot(
-                    h, a_ref[l * hd : (l + 1) * hd, :],
-                    preferred_element_type=jnp.float32,
-                )  # [W, 2H]
+                )  # [W, 2HD+2H] = [skip_{l+1} ‖ h_{l+1} ‖ scat_{l+1}]
+                skip = g[:, :hd]
+                h = g[:, hd : 2 * hd].astype(cdt)
+                scat = g[:, 2 * hd :]
                 s_src = scat[:, :nh].astype(cdt).astype(jnp.float32)
                 s_tgt = scat[:, nh:].astype(cdt)
             else:
@@ -1876,9 +1882,7 @@ def gat_local_model_slots(
         in_specs=[
             pl.BlockSpec((sw, 1), lambda w: (w, 0)),
             pl.BlockSpec((window, 2 * hd + 2 * nh + 1), lambda w: (w, 0)),
-            pl.BlockSpec(skip_w.shape, lambda w: (0, 0)),
-            pl.BlockSpec(proj_w.shape, lambda w: (0, 0)),
-            pl.BlockSpec(a_next.shape, lambda w: (0, 0)),
+            pl.BlockSpec(glue_w.shape, lambda w: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
@@ -1887,13 +1891,13 @@ def gat_local_model_slots(
             flops=2
             * num_windows
             * num_layers
-            * (sw * window * (hd + nh) + 2 * window * hd * hd),
+            * (sw * window * (hd + nh) + window * hd * (2 * hd + 2 * nh)),
             bytes_accessed=num_windows
             * (sw + window * (2 * hd + 2 * nh) * 4),
             transcendentals=num_layers * num_windows * sw * nh,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
-    )(slot_stack[:, None], xcat, skip_w, proj_w, a_next, pred_hd)
+    )(slot_stack[:, None], xcat, glue_w, pred_hd)
     return out
 
 
