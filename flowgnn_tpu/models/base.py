@@ -109,10 +109,20 @@ def _attach_pool_layout(batch: dict, packed: PackedGraphs, window: int) -> None:
     gl = np.full(num_windows * window, POOL_GMAX, np.int64)
     gl[: n][real] = ids[real] - gbase[win[real]]
     if real.any() and gl[: n][real].max() >= POOL_GMAX:
-        raise ValueError(
-            f"window holds more than POOL_GMAX={POOL_GMAX} graphs; "
-            "in-kernel pooling layout unavailable for this packing"
+        # A window holds more than POOL_GMAX graphs (a dense stream of
+        # tiny graphs at a large window). Leave the layout unattached —
+        # every model gates its megakernel on `"pool_gl" in batch`, so
+        # the batch gracefully runs the per-layer kernels + XLA mean-pool
+        # instead of dying here.
+        import warnings
+
+        warnings.warn(
+            f"window of {window} holds more than POOL_GMAX={POOL_GMAX} "
+            "graphs; in-kernel pooling disabled for this bucket "
+            "(per-layer kernel fallback)",
+            stacklevel=3,
         )
+        return
     first = np.full(num_graphs, n - 1, np.int64)
     np.minimum.at(first, ids, np.arange(n))
     w_of_g = first // window

@@ -123,6 +123,32 @@ def test_local_ell_equals_plain(graphs16, reference_root):
                     rtol=1e-5, atol=1e-5, msg="per-layer")
 
 
+def test_pool_gmax_overflow_falls_back(reference_root):
+    """A window denser than POOL_GMAX graphs (tiny-graph stream at a large
+    window) must NOT die — the pool layout stays unattached (with a
+    warning) and the batch runs the per-layer kernels + XLA mean-pool,
+    matching the plain path (VERDICT r2 weak #7)."""
+    from flowgnn_tpu.core.synthetic import random_molecule_graph
+
+    rng = np.random.default_rng(11)
+    tiny = [random_molecule_graph(rng, num_nodes=3) for _ in range(80)]
+    spec = registry.get("gin")
+    params = spec.loader(os.path.join(reference_root, "GIN"))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, tiny)
+    small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=128)
+    plain = spec.forward(jp, as_batch(pack_graphs(tg, **small)), FLOAT32)
+    with pytest.warns(UserWarning, match="POOL_GMAX"):
+        ebatch = as_batch(
+            pack_graphs_aligned(tg, window=256, **small),
+            blocked="local_ell", window=256,
+        )
+    assert "pool_gl" not in ebatch
+    out = spec.forward(jp, ebatch, FLOAT32)
+    assert_allclose(np.asarray(out)[:80], np.asarray(plain)[:80],
+                    rtol=1e-5, atol=1e-5, msg="pool-gmax fallback")
+
+
 def test_gin_local_ell_wps_equals_plain(graphs16, reference_root, monkeypatch):
     """Multi-window grid steps (wps>1, k=1 layouts) match the plain path,
     including a wps that does not divide the window count (pad-window path).
