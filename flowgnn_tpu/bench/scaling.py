@@ -41,7 +41,15 @@ def run_scaling(
     caps=(4096, 12288, 256),
     axis: str = "data",
     strategy: str = "halo",
+    blocked: str | None = None,
 ) -> list[dict]:
+    """``blocked`` (halo strategy only): "local_ell" / "local_slots" packs
+    window-aligned and attaches the per-shard graph-local layouts, so the
+    sharded program runs the whole-model megakernels + in-kernel finalize
+    per shard (one pallas_call; pool partials complete with one
+    all_gather). On the fake CPU backend the kernels run in interpret mode
+    — absolute times are interpreter-bound; use the rows for layout/
+    collective accounting, not kernel speed."""
     import jax
 
     from ..core.graphs import pack_graphs
@@ -91,19 +99,33 @@ def run_scaling(
             row = {"devices": k, "axis": "data"}
         elif axis == "edge":
             # Strong scaling of one fixed batch across the edge axis.
-            packed = pack_graphs(
-                graphs[: graphs_per_device * max(device_counts)],
+            pack_kw = dict(
                 node_capacity=caps[0] * max(device_counts) // 2,
                 edge_capacity=caps[1] * max(device_counts) // 2,
                 graph_capacity=caps[2] * max(device_counts),
                 with_eigen=spec.needs_eigen,
             )
+            if blocked and strategy == "halo":
+                from ..core.graphs import pack_graphs_aligned
+                from ..models.base import PALLAS_ELL_WINDOW
+
+                packed = pack_graphs_aligned(
+                    graphs[: graphs_per_device * max(device_counts)],
+                    window=PALLAS_ELL_WINDOW, **pack_kw,
+                )
+            else:
+                packed = pack_graphs(
+                    graphs[: graphs_per_device * max(device_counts)],
+                    **pack_kw,
+                )
             total_edges = int(packed.n_edge[:-1].sum())
             mesh = make_mesh(data=1, edge=k)
             dim = 100 if model != "pna" else 80
             if strategy == "halo":
                 stacked = stack_halo_buckets(
-                    [build_halo_batch(packed, k=k, edge_slack=2.0 * k)]
+                    [build_halo_batch(
+                        packed, k=k, edge_slack=2.0 * k, blocked=blocked,
+                    )]
                 )
                 fwd = halo_forward(spec.forward, mesh, FLOAT32)
                 shape = halo_shape(

@@ -82,6 +82,37 @@ def ell_wps(model: str) -> int:
 POOL_GMAX = 64  # graph slots per window in the in-kernel pooling layout
 
 
+def pool_layout(
+    ids: np.ndarray, num_graphs: int, window: int
+) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """(pool_gl, pool_row) of the in-kernel finalize layout over a padded
+    node-graph-id axis, or None when a window holds more than POOL_GMAX
+    graphs. Shared by as_batch (single chip) and
+    parallel.halo.build_halo_batch (per-shard layout, global rows)."""
+    n = ids.shape[0]
+    num_windows = -(-n // window)
+    real = ids < num_graphs - 1  # gap/pad rows carry the pad-graph id
+    win = np.arange(n) // window
+    big = np.iinfo(np.int32).max
+    gbase = np.full(num_windows, big, np.int64)
+    np.minimum.at(gbase, win[real], ids[real])
+    gbase[gbase == big] = 0  # all-padding windows
+    gl = np.full(num_windows * window, POOL_GMAX, np.int64)
+    gl[: n][real] = ids[real] - gbase[win[real]]
+    if real.any() and gl[: n][real].max() >= POOL_GMAX:
+        return None
+    first = np.full(num_graphs, n - 1, np.int64)
+    np.minimum.at(first, ids, np.arange(n))
+    w_of_g = first // window
+    row = w_of_g * POOL_GMAX + (np.arange(num_graphs) - gbase[w_of_g])
+    # The pad graph and empty graphs get garbage slots (clamped into
+    # range) — their mean_pool rows are garbage by design already.
+    return (
+        gl.astype(ml_dtypes.bfloat16),
+        np.clip(row, 0, num_windows * POOL_GMAX - 1).astype(np.int32),
+    )
+
+
 def _attach_pool_layout(batch: dict, packed: PackedGraphs, window: int) -> None:
     """In-kernel finalize layout: per-node graph-local ids + a static
     graph→row map, so the megakernels can mean-pool per window with a
@@ -96,19 +127,10 @@ def _attach_pool_layout(batch: dict, packed: PackedGraphs, window: int) -> None:
     window-padding rows); ``pool_row`` indexes each real graph's partial
     row (finalize ≙ GIN/src/finalize.cc:14-115, computed in the kernel
     like the reference's dataflow finalize stage)."""
-    ids = packed.node_graph
-    n = ids.shape[0]
-    num_windows = -(-n // window)
-    num_graphs = packed.n_node.shape[0]  # includes the pad graph (id G−1)
-    real = ids < num_graphs - 1  # gap/pad rows carry the pad-graph id
-    win = np.arange(n) // window
-    big = np.iinfo(np.int32).max
-    gbase = np.full(num_windows, big, np.int64)
-    np.minimum.at(gbase, win[real], ids[real])
-    gbase[gbase == big] = 0  # all-padding windows
-    gl = np.full(num_windows * window, POOL_GMAX, np.int64)
-    gl[: n][real] = ids[real] - gbase[win[real]]
-    if real.any() and gl[: n][real].max() >= POOL_GMAX:
+    out = pool_layout(
+        packed.node_graph, packed.n_node.shape[0], window
+    )
+    if out is None:
         # A window holds more than POOL_GMAX graphs (a dense stream of
         # tiny graphs at a large window). Leave the layout unattached —
         # every model gates its megakernel on `"pool_gl" in batch`, so
@@ -123,16 +145,7 @@ def _attach_pool_layout(batch: dict, packed: PackedGraphs, window: int) -> None:
             stacklevel=3,
         )
         return
-    first = np.full(num_graphs, n - 1, np.int64)
-    np.minimum.at(first, ids, np.arange(n))
-    w_of_g = first // window
-    row = w_of_g * POOL_GMAX + (np.arange(num_graphs) - gbase[w_of_g])
-    # The pad graph and empty graphs get garbage slots (clamped into
-    # range) — their mean_pool rows are garbage by design already.
-    batch["pool_gl"] = gl.astype(ml_dtypes.bfloat16)
-    batch["pool_row"] = np.clip(
-        row, 0, num_windows * POOL_GMAX - 1
-    ).astype(np.int32)
+    batch["pool_gl"], batch["pool_row"] = out
 
 
 def _attach_degrees(batch: dict, n: int) -> None:
@@ -447,6 +460,23 @@ def mean_pool(
     total = segment_sum(h, batch["node_graph"], g, axis_name)
     count = jnp.maximum(batch["n_node"], 1).astype(h.dtype)
     return prec.q(total / count[:, None])
+
+
+def pool_gather(
+    partials: jnp.ndarray, axis_name: Optional[str]
+) -> jnp.ndarray:
+    """Complete per-shard in-kernel pool partials across the edge mesh.
+
+    Chips own contiguous global window ranges (parallel/halo.py row
+    sharding), so one tiled all_gather of the [NW_shard·GMAX, T] partials
+    reconstructs the global [NW·GMAX, T] table the replicated ``pool_row``
+    indexes — the megakernels' finalize analog of mean_pool's psum, and
+    the only readout collective on the sharded megakernel path."""
+    if axis_name is None:
+        return partials
+    import jax
+
+    return jax.lax.all_gather(partials, axis_name, axis=0, tiled=True)
 
 
 def pool_finish(

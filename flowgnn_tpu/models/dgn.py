@@ -80,9 +80,14 @@ def forward(
         edge_axis is None or halo
     )
     # Dest-major slot layout (single-chip default): no scatter matmul —
-    # see ops/pallas/local_layer.py:dgn_local_layer_slots.
-    slots_mode = (
-        "slot_src" in batch and prec.fixed is None and edge_axis is None
+    # see ops/pallas/local_layer.py:dgn_local_layer_slots. Under halo
+    # sharding the slot path engages only when nothing spills (no spill ⇒
+    # no cross-chip edges ⇒ every slot gather is chip-local); spilling
+    # halo batches route through the ELL/plain halo branches, whose spill
+    # gathers go through the boundary exchange.
+    slots_mode = "slot_src" in batch and prec.fixed is None and (
+        edge_axis is None
+        or (halo and batch["slot_spill"].shape[-1] == 0)
     )
     if local:
         P = batch["loc_ulocal"].shape[0]
@@ -126,6 +131,7 @@ def forward(
             params["mlp1_w"].T.astype(dt),
             window, n_slots, L, _base.POOL_GMAX,
         )
+        pool = _base.pool_gather(pool, edge_axis if halo else None)
         z = relu(_base.pool_finish(pool, batch, params["mlp1_b"], prec))
         z = relu(linear(z, params["mlp2_w"], params["mlp2_b"], prec))
         return linear(z, params["mlp3_w"], params["mlp3_b"], prec)

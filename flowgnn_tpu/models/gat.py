@@ -157,8 +157,11 @@ def forward(
     )
     # Dest-major slot layout (single-chip default): no scatter matmul, no
     # score gather, softmax normalised in-kernel (gat_local_message_slots).
-    slots_mode = (
-        "slot_src" in batch and prec.fixed is None and edge_axis is None
+    # Under halo sharding it engages only when nothing spills (no spill ⇒
+    # no cross-chip edges ⇒ every slot gather is chip-local).
+    slots_mode = "slot_src" in batch and prec.fixed is None and (
+        edge_axis is None
+        or (halo and batch["slot_spill"].shape[-1] == 0)
     )
     if local:
         P = batch["loc_ulocal"].shape[0]
@@ -219,6 +222,7 @@ def forward(
                 jnp.asarray(batch["pool_gl"]), ops["pred_hd"],
                 window, n_slots, H, L, _base.POOL_GMAX,
             )
+        pool = _base.pool_gather(pool, edge_axis if halo else None)
         return _base.pool_finish(pool, batch, params["pred_b"], prec)
     for l in range(L if out_feat is None else 0):
         if slots_mode:

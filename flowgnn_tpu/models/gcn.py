@@ -96,8 +96,10 @@ def forward(
         inter.append(h)
         if (
             k_blocks == 1 and not return_intermediates
-            and "pool_gl" in batch and edge_axis is None
+            and "pool_gl" in batch and (edge_axis is None or halo)
         ):
+            # Per-shard megakernel under halo too (no spill ⇒ chip-local);
+            # pool partials complete with one all_gather (base.pool_gather).
             # Whole-model megakernel: all L fused layers + in-kernel
             # finalize in ONE pallas call (gcn_local_model) — edge
             # multi-hot, one-hots and per-edge source norms built once,
@@ -122,6 +124,7 @@ def forward(
                 params["pred_w"].T.astype(dt),
                 window, L, _base.POOL_GMAX,
             )
+            pool = _base.pool_gather(pool, edge_axis if halo else None)
             return _base.pool_finish(pool, batch, params["pred_b"], prec)
         for l in range(L):
             final = l == L - 1

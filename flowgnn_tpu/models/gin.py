@@ -82,8 +82,11 @@ def forward(
             u.shape[0] == P  # no spill tail
             and k_blocks == 1
             and _base.ell_wps(wps_key) == 1
-            and edge_axis is None
+            and (edge_axis is None or halo)
         ):
+            # Under halo sharding (no spill ⇒ no cross-chip edges) the
+            # same megakernel runs per shard; one tiled all_gather of the
+            # pool partials is the only collective (base.pool_gather).
             # Whole-model megakernel: conv stack + in-kernel finalize in
             # ONE pallas call (ops/pallas/local_layer.py:gin_local_model)
             # — edge multi-hot and gather/scatter one-hots built once, h
@@ -105,6 +108,7 @@ def forward(
                 params["pred_w"].T.astype(dt),
                 window, L, _base.POOL_GMAX,
             )
+            pool = _base.pool_gather(pool, edge_axis if halo else None)
             return _base.pool_finish(pool, batch, params["pred_b"], prec)
     for l in range(L):
         if ell:

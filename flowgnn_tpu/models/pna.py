@@ -104,6 +104,7 @@ def forward(
             int(window), int(n_slots), L, _base.POOL_GMAX,
             MAX_INIT, MIN_INIT,
         )
+        pool = _base.pool_gather(pool, edge_axis if halo else None)
         z = relu(_base.pool_finish(pool, batch, params["mlp1_b"], prec))
         z = relu(linear(z, params["mlp2_w"], params["mlp2_b"], prec))
         return linear(z, params["mlp3_w"], params["mlp3_b"], prec)

@@ -204,10 +204,16 @@ def build_halo_batch(
         p_lanes = nw_shard * lbs[0].k_blocks * blk
         for lb in lbs:
             assert not lb.valid[p_lanes:].any(), "trash window held real lanes"
-        sh_send = np.zeros((k, p_lanes + spill_cap), np.int32)
-        sh_recv = np.full((k, p_lanes + spill_cap), s_rows, np.int32)
+        # Auto-size the spill tail to the stream's actual crossing-edge
+        # count (max over chips, 8-aligned; 0 when window-aligned packing
+        # leaves nothing to spill) — a statically-empty tail would keep
+        # the whole-model megakernels permanently disengaged per shard.
+        sp_used = max(lb.spill_count for lb in lbs)
+        sp_used = -(-sp_used // 8) * 8 if sp_used else 0
+        sh_send = np.zeros((k, p_lanes + sp_used), np.int32)
+        sh_recv = np.full((k, p_lanes + sp_used), s_rows, np.int32)
         sh_attr = np.zeros(
-            (k, p_lanes + spill_cap, edge_attr.shape[1]), np.int32
+            (k, p_lanes + sp_used, edge_attr.shape[1]), np.int32
         )
         for i, ((ei, s_ext, r_loc), lb) in enumerate(zip(per_chip, lbs)):
             val = lb.valid[:p_lanes]
@@ -242,21 +248,53 @@ def build_halo_batch(
             # h.shape[0] == s_rows.
             nw_shard = s_rows // window
             keep = nw_shard * window  # rows of the [NW·W, S] table
-            slot_u, slot_sp, slot_mask = [], [], []
+            # Auto-size the slot axis to the stream's max LOCAL in-degree
+            # (as_batch does the same single-chip — deeper in-degrees ride
+            # the spill tail).
+            s_needed = 1
+            for _, s_ext, r_loc in per_chip:
+                loc = (s_ext < s_rows) & (s_ext // window == r_loc // window)
+                if loc.any():
+                    s_needed = max(
+                        s_needed,
+                        int(np.bincount(
+                            r_loc[loc], minlength=s_rows + 1
+                        ).max()),
+                    )
+            s_slots = max(1, min(s_needed, PALLAS_SLOTS))
+            slot_u, slot_sp, slot_cnt = [], [], []
             for ei, s_ext, r_loc in per_chip:
                 us, sp, cnt = build_local_slots(
                     s_ext, r_loc, s_rows + 1, window=window,
-                    slots=PALLAS_SLOTS, spill_capacity=spill_cap,
+                    slots=s_slots, spill_capacity=spill_cap,
                 )
                 assert (us[keep:] == window).all(), "trash window had slots"
                 slot_u.append(us[:keep])  # [NW·W, S] per-dest rows
                 slot_sp.append(sp)
-                slot_mask.append(np.arange(spill_cap) < cnt)
+                slot_cnt.append(cnt)
+            # Auto-size the spill tail (max over chips; 0 when clean) so
+            # the slot megakernels can engage per shard.
+            sp_used = max(slot_cnt)
+            sp_used = -(-sp_used // 8) * 8 if sp_used else 0
             extras["slot_src"] = np.stack(slot_u)
-            extras["slot_spill"] = np.stack(slot_sp)
-            extras["slot_spill_mask"] = np.stack(slot_mask)
-            extras["slot_geom"] = np.zeros(
-                (k, window, PALLAS_SLOTS), np.int32
+            extras["slot_spill"] = np.stack([sp[:sp_used] for sp in slot_sp])
+            extras["slot_spill_mask"] = np.stack(
+                [np.arange(sp_used) < cnt for cnt in slot_cnt]
+            )
+            extras["slot_geom"] = np.zeros((k, window, s_slots), np.int32)
+            # GAT's stacked-gather layout ([NW·S·W] float column per shard;
+            # exact small integers — bf16 only holds ≤256).
+            import ml_dtypes
+
+            stack_dt = ml_dtypes.bfloat16 if window <= 256 else np.float32
+            extras["slot_stack"] = np.stack(
+                [
+                    np.ascontiguousarray(
+                        us.reshape(nw_shard, window, s_slots)
+                        .transpose(0, 2, 1)
+                    ).reshape(-1).astype(stack_dt)
+                    for us in slot_u
+                ]
             )
 
     batch = {
@@ -274,6 +312,35 @@ def build_halo_batch(
     batch.update(extras)
     if node_eigen is not None:
         batch["node_eigen"] = node_eigen
+    if blocked in ("local_ell", "local_slots"):
+        # In-kernel finalize layout PER SHARD: window-aligned packing keeps
+        # each graph in one window (hence one chip), so the global pool
+        # layout splits cleanly — pool_gl shards with the node rows while
+        # pool_row (global partial-row per graph) replicates; the models
+        # complete the per-shard [NW·GMAX, T] partials with one tiled
+        # all_gather (models/base.py:pool_gather) ≙ the reference keeping
+        # finalize inside the dataflow (GIN/src/finalize.cc:14-115).
+        from ..models.base import pool_layout
+
+        ids = pad_nodes(packed.node_graph, g_cap)
+        real = ids < g_cap
+        aligned = True
+        if real.any():
+            first = np.full(g_cap + 1, n2 - 1, np.int64)
+            last = np.zeros(g_cap + 1, np.int64)
+            np.minimum.at(first, ids, np.arange(n2))
+            np.maximum.at(last, ids, np.arange(n2))
+            gr = np.nonzero(
+                (first <= last)[: g_cap]
+            )[0]
+            aligned = bool(
+                np.all(first[gr] // window == last[gr] // window)
+            )
+        layout = pool_layout(ids, g_cap + 1, window) if aligned else None
+        if layout is not None:
+            gl, row = layout
+            batch["pool_gl"] = np.asarray(gl).reshape(k, s_rows)
+            batch["pool_row"] = row  # global — replicated across chips
     return batch
 
 

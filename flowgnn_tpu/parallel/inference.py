@@ -94,7 +94,7 @@ def device_put_batch(batch: dict, mesh: Mesh) -> dict:
 # boundary-row all_to_all per layer instead of full-array psum.
 # ---------------------------------------------------------------------------
 
-_HALO_REPLICATED = ("n_node", "n_edge")
+_HALO_REPLICATED = ("n_node", "n_edge", "pool_row")
 
 
 def stack_halo_buckets(halo_batches: list[dict]) -> dict:
