@@ -185,12 +185,18 @@ def forward(
             from ..ops.pallas.local_layer import dgn_local_message_ell
 
             d = h.shape[1]
+            # Exchange first — the two-channel message kernel has no data
+            # edge into it, so the all_to_all overlaps the local
+            # aggregation (SURVEY §5; test_halo_overlap_independence).
+            hsrc = (
+                halo_exchange(h, batch, edge_axis) if halo and has_spill
+                else h
+            )
             m1_loc, m2_loc = dgn_local_message_ell(
                 batch["loc_ulocal"], batch["loc_vlocal"], h, eig,
                 window, k_blocks,
             )
             if has_spill:
-                hsrc = halo_exchange(h, batch, edge_axis) if halo else h
                 x_sp = jnp.take(hsrc, u[P:], axis=0)
                 sp = jnp.concatenate([x_sp, eig_w[P:][:, None] * x_sp], axis=1)
                 m_spill = (

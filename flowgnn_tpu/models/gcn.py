@@ -163,6 +163,14 @@ def forward(
         if local:
             from ..ops.pallas.local_layer import gcn_local_message_ell
 
+            # Issue the boundary-row exchange FIRST: the message kernel has
+            # no data edge into it, so XLA overlaps the all_to_all with the
+            # window-local aggregation (SURVEY §5; the spill term folds in
+            # before the nonlinear tail). test_halo_overlap_independence.
+            hsrc = (
+                halo_exchange(h, batch, edge_axis) if halo and has_spill
+                else h
+            )
             m_loc = gcn_local_message_ell(
                 attr_off,
                 params["edge_embedding"][l].astype(prec.compute_dtype),
@@ -173,7 +181,6 @@ def forward(
                 ee_spill = bond_embed(
                     params["edge_embedding"][l], batch["edge_attr"][P:], prec
                 )
-                hsrc = halo_exchange(h, batch, edge_axis) if halo else h
                 spill_msg = norm_spill * relu(
                     jnp.take(hsrc, u[P:], axis=0) + ee_spill
                 )

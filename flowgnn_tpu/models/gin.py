@@ -113,19 +113,48 @@ def forward(
     for l in range(L):
         if ell:
             P = batch["loc_ulocal"].shape[0]
-            from ..ops.pallas.local_layer import gin_local_layer_ell
+            from ..ops.pallas.local_layer import (
+                gin_local_layer_ell, gin_local_message_ell,
+            )
 
             window, k_blocks = _base.ell_geometry(batch)
+            ee_tab = params["edge_embedding"][l].astype(prec.compute_dtype)
+            if halo and u.shape[0] > P:
+                # Overlap the halo exchange with local aggregation (SURVEY
+                # §5 ≙ the reference's FIFO producer/consumer overlap,
+                # GIN/src/conv_layer.cc:48-57): the boundary-row all_to_all
+                # is issued with NO data edge into the message-only local
+                # kernel, so XLA's latency-hiding scheduler runs them
+                # concurrently; the halo-sourced spill term folds in just
+                # before the (nonlinear) MLP. tests/test_halo.py::
+                # test_halo_overlap_independence pins the independence.
+                hsrc = _base.halo_exchange(h, batch, edge_axis)
+                m_loc = gin_local_message_ell(
+                    attr_off[:P], ee_tab, batch["loc_ulocal"],
+                    batch["loc_vlocal"], h, window, k_blocks,
+                    wps=_base.ell_wps(wps_key),
+                )
+                ee_spill = bond_embed(
+                    params["edge_embedding"][l], batch["edge_attr"][P:], prec
+                )
+                spill_msg = relu(jnp.take(hsrc, u[P:], axis=0) + ee_spill)
+                m = prec.q(
+                    m_loc + segment_sum(spill_msg, v[P:], n + 1)[:n]
+                )
+                act = prec.q(m + (1 + eps[l]) * h)
+                z = relu(
+                    linear(act, params["mlp1_w"][l], params["mlp1_b"][l], prec)
+                )
+                z = linear(z, params["mlp2_w"][l], params["mlp2_b"][l], prec)
+                h = relu(z) if l != L - 1 else z
+                inter.append(h)
+                continue
             if u.shape[0] > P:  # spill tail present (auto-sized at pack time)
                 ee_spill = bond_embed(
                     params["edge_embedding"][l], batch["edge_attr"][P:], prec
                 )
-                hsrc = _base.halo_exchange(h, batch, edge_axis) if halo else h
-                spill_msg = relu(jnp.take(hsrc, u[P:], axis=0) + ee_spill)
-                m_spill = (
-                    segment_sum(spill_msg, v[P:], n + 1)[:n]
-                    if halo else segment_sum(spill_msg, v[P:], n)
-                )
+                spill_msg = relu(jnp.take(h, u[P:], axis=0) + ee_spill)
+                m_spill = segment_sum(spill_msg, v[P:], n)
             else:
                 m_spill = jnp.zeros_like(h)
             h = gin_local_layer_ell(
@@ -136,7 +165,7 @@ def forward(
                 window, k_blocks,
                 final_relu=l != L - 1,
                 edge_attr=attr_off[:P],
-                ee_table=params["edge_embedding"][l].astype(prec.compute_dtype),
+                ee_table=ee_tab,
                 wps=_base.ell_wps(wps_key),
             )
             inter.append(h)

@@ -136,6 +136,13 @@ def forward(
             from ..ops.pallas.local_layer import pna_local_stats_ell
 
             window, n_slots = batch["slot_geom"].shape[-2:]
+            # Exchange first — the stats kernel is independent of it, so
+            # the all_to_all overlaps the local aggregation (SURVEY §5;
+            # test_halo_overlap_independence).
+            hsrc = (
+                _base.halo_exchange(h, batch, edge_axis)
+                if halo and has_spill else h
+            )
             # Kernel arg order: (min-accumulator seed, max-accumulator seed)
             # = (upper extreme, lower extreme) — PNA/src/util.h ap_fixed_min/max.
             st = pna_local_stats_ell(
@@ -146,9 +153,6 @@ def forward(
             mn = st[:, 2 * d : 3 * d]
             mx = st[:, 3 * d :]
             if has_spill:
-                hsrc = (
-                    _base.halo_exchange(h, batch, edge_axis) if halo else h
-                )
                 x_sp = jnp.take(hsrc, sp_u, axis=0)
                 ns = n + 1 if halo else n
                 s = s + segment_sum(x_sp, sp_v, ns)[:n]

@@ -476,6 +476,33 @@ def local_scatter_apply_ell_attr(
     )(meta, ee_table, h, m_spill, *extras)
 
 
+def gin_local_message_ell(
+    edge_attr, ee_table, u_local, v_local, h, window, k_blocks, wps=1,
+):
+    """Message-only GIN ELL kernel: m[v] = Σ relu(h_u + ee), edge embedding
+    in-kernel — and NO spill/halo operand, so on the halo-sharded path the
+    boundary-row all_to_all has no data edge into this kernel and XLA's
+    latency-hiding scheduler overlaps the collective with the window-local
+    aggregation (SURVEY §5's mapping of the reference's FIFO overlap,
+    GIN/src/conv_layer.cc:48-57). The caller folds the halo-sourced spill
+    term and runs the MLP after the merge (models/gin.py)."""
+    n, d = h.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+    zeros = jnp.zeros_like(h)
+
+    def epilogue(acc, h_win, spill_win, *_):
+        return (acc + spill_win.astype(jnp.float32)).astype(h.dtype)
+
+    out = local_scatter_apply_ell_attr(
+        edge_attr, ee_table, u_local, v_local, h, zeros,
+        (), epilogue, window, k_blocks, d, wps=wps,
+    )
+    return out[:n]
+
+
 def gin_local_layer_ell(
     ee, u_local, v_local, h, m_spill,
     w1, b1, w2, b2, eps1, window, k_blocks, final_relu,

@@ -226,6 +226,81 @@ def test_halo_megakernel_engaged(name, _interp, graphs16, reference_root):
                     msg=f"{name} halo megakernel")
 
 
+def _first_pallas_after_each_all_to_all_untainted(jaxpr) -> list[bool]:
+    """For every all_to_all in (nested) jaxprs: is the FIRST pallas_call
+    that follows it (same jaxpr, equation order = program order) free of
+    any data dependence on its output? True per all_to_all ⇒ XLA's
+    latency-hiding scheduler may overlap the collective with that kernel
+    (the same layer's window-local aggregation)."""
+    results = []
+
+    def walk(jx):
+        for i, eqn in enumerate(jx.eqns):
+            prim = eqn.primitive.name
+            if prim == "all_to_all":
+                # Literals are fresh objects — ids never collide with vars.
+                tainted = {id(v) for v in eqn.outvars}
+                verdict = None
+                for later in jx.eqns[i + 1 :]:
+                    dep = any(id(v) in tainted for v in later.invars)
+                    if later.primitive.name == "pallas_call":
+                        verdict = not dep
+                        break
+                    if dep:
+                        tainted.update(id(v) for v in later.outvars)
+                if verdict is not None:
+                    results.append(verdict)
+            for val in eqn.params.values():
+                if hasattr(val, "eqns"):  # raw Jaxpr (e.g. shard_map body)
+                    walk(val)
+                elif hasattr(val, "jaxpr") and hasattr(val.jaxpr, "eqns"):
+                    walk(val.jaxpr)  # ClosedJaxpr (e.g. pjit)
+
+    walk(jaxpr.jaxpr)
+    return results
+
+
+@pytest.mark.parametrize("name", ["gin", "gcn", "dgn", "gat", "pna"])
+def test_halo_overlap_independence(name, _interp, graphs16, reference_root):
+    """VERDICT r2 #3 / SURVEY §5: on a SPILLING halo batch (cross-chip
+    edges present) each layer's boundary-row all_to_all must have no data
+    edge into that layer's window-local Pallas kernel — the independence
+    that lets XLA overlap the collective with local aggregation, mapping
+    the reference's FIFO producer/consumer overlap
+    (GIN/src/conv_layer.cc:48-57)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 fake devices")
+    spec = registry.get(name)
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jparams = prepare_params(params, FLOAT32)
+    from flowgnn_tpu.core.synthetic import synthetic_molhiv
+
+    # 64 graphs over 4×512-row shards: graphs cross shard boundaries, so
+    # the layout spills and every layer exchanges boundary rows.
+    tg = registry.apply_transforms(
+        spec, synthetic_molhiv(64, seed=7, with_eigen=spec.needs_eigen)
+    )
+    caps = dict(node_capacity=2047, edge_capacity=8192, graph_capacity=80)
+    packed = pack_graphs(tg, with_eigen=spec.needs_eigen, **caps)
+    blocked = "local_slots" if name == "pna" else "local_ell"
+    hb = build_halo_batch(packed, k=4, edge_slack=8.0, blocked=blocked)
+    # Non-aligned packing must actually spill, or there is no exchange.
+    if blocked == "local_slots":
+        assert hb["slot_spill"].shape[-1] > 0
+    else:
+        assert hb["senders"].shape[-1] > hb["loc_ulocal"].shape[-1]
+    stacked = stack_halo_buckets([hb])
+    mesh = make_mesh(data=1, edge=4)
+    fwd = halo_forward(spec.forward, mesh, FLOAT32)
+    jaxpr = jax.make_jaxpr(fwd)(jparams, stacked)
+    verdicts = _first_pallas_after_each_all_to_all_untainted(jaxpr)
+    assert verdicts, f"{name}: no all_to_all→pallas pair found"
+    assert all(verdicts), (
+        f"{name}: a layer's local kernel depends on that layer's "
+        f"all_to_all — exchange cannot be overlapped ({verdicts})"
+    )
+
+
 @pytest.mark.parametrize("name", ["gin", "pna"])
 def test_halo_local_multiwindow_shard(name, _interp, graphs16, reference_root):
     """Regression: shards spanning MORE than one ELL window (S = 2·W here)
