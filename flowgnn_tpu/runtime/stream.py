@@ -20,14 +20,23 @@ from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 
-from ..core.graphs import Graph, pack_graphs
+from ..core.graphs import Graph, pack_graphs_aligned
 from ..core.numerics import FLOAT32, Precision
 from ..models import registry
-from ..models.base import as_batch, prepare_params
+from ..models.base import (
+    ELL_GEOMETRY_DEFAULTS, as_batch, choose_window, prepare_params,
+)
 
 
 class InferenceStream:
-    """Streaming runner for one model over (graph, weight_set_id) pairs."""
+    """Streaming runner for one model over (graph, weight_set_id) pairs.
+
+    Buckets pack window-aligned and run the SAME graph-local Pallas
+    layouts (ELL / dest-major slots, per-model tuned geometry) as bench.py
+    and the CLI — the whole-model megakernels engage whenever nothing
+    spills, so the reload_weights analog streams at production speed. The
+    jit is compiled once per bucket SHAPE; every weight set shares it.
+    """
 
     def __init__(
         self,
@@ -44,18 +53,38 @@ class InferenceStream:
         self.prec = prec
         self.caps = (node_capacity, edge_capacity, graph_capacity)
         self.params = [prepare_params(p, prec) for p in param_sets]
+        gw, gb = ELL_GEOMETRY_DEFAULTS.get(model, (None, None))
+        self._geom = (gw or 512, gb or 1536)
+        self._blocked = (
+            "local_slots" if model in ("pna", "gat", "dgn") else "local_ell"
+        )
         self._fwd = jax.jit(lambda p, b: self.spec.forward(p, b, prec))
 
-    def _flush(self, bucket: list[Graph], set_id: int) -> np.ndarray:
-        packed = pack_graphs(
+    def _make_batch(self, bucket: list[Graph]) -> tuple[dict, int]:
+        """Window-aligned pack + production kernel layout for one bucket."""
+        window = choose_window(
+            self.spec.name, max(g.num_nodes for g in bucket), self._geom[0]
+        )
+        packed = pack_graphs_aligned(
             bucket,
+            window=window,
             node_capacity=self.caps[0],
             edge_capacity=self.caps[1],
             graph_capacity=self.caps[2],
             with_eigen=self.spec.needs_eigen,
         )
-        out = self._fwd(self.params[set_id], as_batch(packed))
-        return np.asarray(out)[: len(bucket), 0]
+        return (
+            as_batch(
+                packed, blocked=self._blocked, window=window,
+                block=self._geom[1],
+            ),
+            len(bucket),
+        )
+
+    def _flush(self, bucket: list[Graph], set_id: int) -> np.ndarray:
+        batch, n = self._make_batch(bucket)
+        out = self._fwd(self.params[set_id], batch)
+        return np.asarray(out)[:n, 0]
 
     def run(
         self, items: Iterable[tuple[Graph, int]]

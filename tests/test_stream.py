@@ -11,6 +11,12 @@ from flowgnn_tpu.models import registry
 from flowgnn_tpu.runtime.stream import InferenceStream
 
 
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    # The stream now runs the Pallas kernel layouts (production path).
+    monkeypatch.setenv("FLOWGNN_PALLAS_INTERPRET", "1")
+
+
 @pytest.fixture(scope="module")
 def gin_param_sets(reference_root):
     p0 = registry.get("gin").loader(os.path.join(reference_root, "GIN"))
@@ -53,3 +59,50 @@ def test_stream_bad_set_raises(gin_param_sets, graphs16):
     stream = InferenceStream("gin", gin_param_sets, FLOAT32)
     with pytest.raises(ValueError):
         list(stream.run([(graphs16[0], 7)]))
+
+
+def test_stream_runs_production_layout(gin_param_sets, reference_root,
+                                        graphs16):
+    """VERDICT r2 #8: the reload_weights analog must run the SAME
+    graph-local kernel layouts bench/cli showcase — window-aligned pack,
+    ELL lanes attached, megakernel-eligible (pool layout present, no
+    spill) — and match the plain path."""
+    import jax
+
+    from flowgnn_tpu.core.graphs import pack_graphs
+    from flowgnn_tpu.models.base import as_batch, prepare_params
+
+    stream = InferenceStream("gin", gin_param_sets, FLOAT32,
+                             node_capacity=512, edge_capacity=2048,
+                             graph_capacity=16)
+    batch, n = stream._make_batch(
+        [registry.apply_transforms(stream.spec, [g])[0]
+         for g in graphs16[:8]]
+    )
+    assert "loc_ulocal" in batch and "loc_ell" in batch
+    assert "pool_gl" in batch  # in-kernel finalize layout attached
+    assert batch["senders"].shape[0] == batch["loc_ulocal"].shape[0], (
+        "aligned packing must leave no spill tail"
+    )
+    got = np.array(list(stream.run([(g, 0) for g in graphs16[:8]])))
+    spec = registry.get("gin")
+    jp = prepare_params(gin_param_sets[0], FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:8])
+    plain = jax.jit(lambda p, b: spec.forward(p, b, FLOAT32))(
+        jp, as_batch(pack_graphs(tg, node_capacity=512, edge_capacity=2048,
+                                 graph_capacity=16))
+    )
+    assert_allclose(got, np.asarray(plain)[:8, 0], rtol=1e-5, atol=1e-5)
+
+
+def test_stream_slot_model_layout(reference_root, graphs16):
+    """Slot-layout models stream through their production layout too."""
+    p0 = registry.get("gat").loader(os.path.join(reference_root, "GAT"))
+    stream = InferenceStream("gat", [p0], FLOAT32, node_capacity=512,
+                             edge_capacity=2048, graph_capacity=16)
+    batch, _ = stream._make_batch(
+        [registry.apply_transforms(stream.spec, [g])[0]
+         for g in graphs16[:8]]
+    )
+    assert "slot_src" in batch and "slot_stack" in batch
+    assert batch["slot_spill"].shape[-1] == 0
