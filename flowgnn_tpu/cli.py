@@ -152,6 +152,104 @@ def run_case(
     }
 
 
+def run_multihost(
+    name: str,
+    dataset: str,
+    out_dir: str,
+    prec,
+    reference_root: str,
+    num_graphs: int | None = None,
+    edge_shards: int = 1,
+    local_data: int = 1,
+    caps=(8192, 24576, 512),
+) -> dict:
+    """Multi-host experiment driver — run_experiments.sh at pod scale.
+
+    Every host runs this same entry (`cli run --multihost`, coordinates
+    via FLOWGNN_COORDINATOR/NUM_PROCESSES/PROCESS_ID or cluster
+    auto-detection): initialize → deal buckets round-robin
+    (multihost.shard_stream, trailing partial groups padded and
+    de-duplicated) → run each group on the host's LOCAL data×edge mesh
+    (per-layer halo collectives ride ICI, never DCN) → one DCN
+    all-gather of the per-bucket predictions → host 0 writes the
+    HLS_output.txt-shaped prediction file with EVERY graph accounted for
+    in submission order."""
+    import math
+
+    import jax
+    import numpy as np
+
+    from .core.graphs import auto_edge_capacity, pack_dataset
+    from .models import registry
+    from .models.base import prepare_params
+    from .parallel import multihost
+    from .parallel.halo import build_halo_batch
+    from .parallel.inference import halo_forward, stack_halo_buckets
+    from .parallel.mesh import make_mesh
+
+    multihost.initialize()  # env/cluster-driven; no-op single-process
+    spec = registry.get(name)
+    params = prepare_params(
+        spec.loader(os.path.join(reference_root, spec.reference_dir)), prec
+    )
+    graphs = registry.apply_transforms(
+        spec, _load_graphs(dataset, spec, num_graphs)
+    )
+    buckets = list(
+        pack_dataset(
+            graphs,
+            node_capacity=caps[0],
+            edge_capacity=max(caps[1], auto_edge_capacity(graphs, caps[0])),
+            graph_capacity=caps[2],
+            with_eigen=spec.needs_eigen,
+        )
+    )
+    counts = [b.num_graphs for b in buckets]
+    groups, real = multihost.shard_stream(buckets, local_data)
+    mesh = make_mesh(
+        data=local_data, edge=edge_shards, devices=jax.local_devices()
+    )
+    fwd = halo_forward(spec.forward, mesh, prec)
+    rows: list[np.ndarray] = []
+    for group, nreal in zip(groups, real):
+        stacked = stack_halo_buckets(
+            [
+                build_halo_batch(b, k=edge_shards, edge_slack=4.0 * edge_shards)
+                for b in group
+            ]
+        )
+        out = np.asarray(fwd(params, stacked))  # [local_data, G+1, T]
+        rows.extend(out[:nreal])
+    # Equal-shape DCN all-gather: pad every host to the max row count.
+    n_proc = jax.process_count()
+    max_rows = math.ceil(len(buckets) / n_proc)
+    gcap1 = buckets[0].n_node.shape[0]
+    t_out = rows[0].shape[-1] if rows else 1
+    local = np.zeros((max_rows, gcap1, t_out), np.float32)
+    if rows:
+        local[: len(rows)] = np.stack(rows)
+    gathered = multihost.gather_results(local)
+    if n_proc == 1:
+        gathered = gathered[None]
+    os.makedirs(out_dir, exist_ok=True)
+    if jax.process_index() == 0:
+        with open(os.path.join(out_dir, f"{name}_output.txt"), "w") as f:
+            g = 1
+            for i, k in enumerate(counts):  # global submission order
+                row = gathered[i % n_proc, i // n_proc]
+                for val in row[:k, 0]:
+                    f.write(f"g{g}: {float(val):.8f}\n")
+                    g += 1
+    return {
+        "model": name,
+        "dataset": dataset,
+        "num_graphs": sum(counts),
+        "buckets": len(buckets),
+        "hosts": int(n_proc),
+        "mesh": {"data": local_data, "edge": edge_shards},
+    }
+
+
 def run_accuracy(
     name: str,
     dataset: str,
@@ -224,6 +322,15 @@ def run_accuracy(
 
 
 def main(argv=None) -> None:
+    # The axon sitecustomize pins the platform at interpreter start, so
+    # JAX_PLATFORMS=cpu in the env is silently ignored (CLAUDE.md). When
+    # the caller asks for fake host devices via XLA_FLAGS (tests, driver),
+    # honour that intent with the config switch that actually works.
+    if "host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser(prog="flowgnn_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -283,6 +390,21 @@ def main(argv=None) -> None:
     run.add_argument("--out", default="results")
     run.add_argument("--f32", action="store_true")
     run.add_argument("--reference", default="/root/reference")
+    run.add_argument("--multihost", action="store_true",
+                     help="multi-host driver: initialize jax.distributed "
+                          "(FLOWGNN_COORDINATOR/NUM_PROCESSES/PROCESS_ID or "
+                          "cluster auto-detection), deal buckets across "
+                          "hosts, run each group on the local data×edge "
+                          "mesh, all-gather predictions over DCN")
+    run.add_argument("--edge-shards", type=int, default=1,
+                     help="edge-axis width of each host's local mesh "
+                          "(halo-exchange sharding)")
+    run.add_argument("--local-data", type=int, default=1,
+                     help="data-axis width of each host's local mesh "
+                          "(buckets per step)")
+    run.add_argument("--node-cap", type=int, default=8192)
+    run.add_argument("--edge-cap", type=int, default=24576)
+    run.add_argument("--graph-cap", type=int, default=512)
     args = ap.parse_args(argv)
 
     if args.cmd == "convert":
@@ -320,6 +442,17 @@ def main(argv=None) -> None:
               f"({r['num_graphs']} graphs)", file=sys.stderr)
         print(json.dumps(r))
         return
+    if args.cmd == "run" and args.multihost:
+        name = "gin" if args.model == "all" else args.model
+        r = run_multihost(
+            name, args.dataset, args.out, prec, args.reference,
+            args.num_graphs, edge_shards=args.edge_shards,
+            local_data=args.local_data,
+            caps=(args.node_cap, args.edge_cap, args.graph_cap),
+        )
+        print(json.dumps(r))
+        return
+
     names = list(registry.MODELS) if args.model == "all" else [args.model]
     results = []
     for name in names:

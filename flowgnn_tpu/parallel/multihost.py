@@ -89,7 +89,9 @@ def global_mesh(edge: int = 1, devices=None):
     return Mesh(arr, ("data", "edge"))
 
 
-def shard_stream(buckets: Sequence, local_data: int = 1) -> list:
+def shard_stream(
+    buckets: Sequence, local_data: int = 1
+) -> tuple[list, list[int]]:
     """This process's share of the bucket stream, grouped for its local mesh.
 
     Buckets are dealt round-robin across processes (every process must call
@@ -97,16 +99,25 @@ def shard_stream(buckets: Sequence, local_data: int = 1) -> list:
     identical host programs, disjoint data), then grouped into
     ``local_data``-sized stacks for the host's local ('data', 'edge') mesh.
     DCN carries no per-layer traffic in this scheme — each bucket's
-    collectives ride the local slice's ICI; a trailing partial group is
-    dropped (pad the stream to a multiple if every bucket must run).
+    collectives ride the local slice's ICI.
+
+    Returns ``(groups, real_counts)``: a trailing partial group is PADDED
+    by repeating its last bucket (static mesh shapes need full stacks);
+    ``real_counts[i]`` says how many of group i's rows are real so the
+    caller drops the duplicate predictions — every submitted bucket is
+    accounted for exactly once.
     """
     import jax
 
     mine = list(buckets[jax.process_index() :: jax.process_count()])
-    return [
-        mine[i : i + local_data]
-        for i in range(0, len(mine) - local_data + 1, local_data)
-    ]
+    groups, real = [], []
+    for i in range(0, len(mine), local_data):
+        g = list(mine[i : i + local_data])
+        real.append(len(g))
+        while len(g) < local_data:
+            g.append(g[-1])
+        groups.append(g)
+    return groups, real
 
 
 def gather_results(local_out: np.ndarray):

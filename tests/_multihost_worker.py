@@ -47,8 +47,8 @@ def main() -> None:
 
     # Each host: 2 of the 4 buckets, stacked over a LOCAL data=2 x edge=2
     # mesh of its own 4 CPU devices — per-layer collectives never touch DCN.
-    groups = multihost.shard_stream(buckets, local_data=2)
-    assert len(groups) == 1 and len(groups[0]) == 2
+    groups, real = multihost.shard_stream(buckets, local_data=2)
+    assert len(groups) == 1 and len(groups[0]) == 2 and real == [2]
     mesh = make_mesh(data=2, edge=2, devices=jax.local_devices())
     stacked = stack_halo_buckets(
         [build_halo_batch(b, k=2, window=32, edge_slack=8.0) for b in groups[0]]

@@ -45,8 +45,80 @@ def test_initialize_single_process_noop():
 
 
 def test_shard_stream_single_process_grouping():
-    groups = multihost.shard_stream(list(range(5)), local_data=2)
-    assert groups == [[0, 1], [2, 3]]  # trailing partial group dropped
+    groups, real = multihost.shard_stream(list(range(5)), local_data=2)
+    # Trailing partial group is PADDED (repeat last) and marked, not dropped.
+    assert groups == [[0, 1], [2, 3], [4, 4]]
+    assert real == [2, 2, 1]
+
+
+def test_cli_multihost_two_processes_all_predictions(tmp_path):
+    """VERDICT r2 #7: the DCN tier driven end-to-end from the CLI
+    (`cli run --multihost`) across two real OS processes, with a bucket
+    count that does NOT divide the per-host group size — the padded
+    trailing group must be de-duplicated and EVERY graph accounted for in
+    submission order, matching the single-process forward."""
+    port = _free_port()
+    env_base = {
+        **os.environ,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "FLOWGNN_COORDINATOR": f"127.0.0.1:{port}",
+        "FLOWGNN_NUM_PROCESSES": "2",
+    }
+    cmd = [
+        sys.executable, "-m", "flowgnn_tpu.cli", "run",
+        "--model", "gin", "--dataset", "synth", "--num-graphs", "20",
+        "--multihost", "--edge-shards", "2", "--local-data", "2",
+        "--node-cap", "255", "--edge-cap", "1024", "--graph-cap", "4",
+        "--out", str(tmp_path), "--f32",
+    ]
+    procs = [
+        subprocess.Popen(
+            cmd, env={**env_base, "FLOWGNN_PROCESS_ID": str(i)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    # 20 graphs at graph-cap 4 → 5 buckets: host 0 gets 3 (one PADDED
+    # group), host 1 gets 2 — the non-divisible case under test.
+    import json as _json
+
+    meta = next(
+        _json.loads(l)
+        for l in reversed(outs[0].strip().splitlines())
+        if l.startswith("{")
+    )
+    assert meta["buckets"] == 5 and meta["hosts"] == 2
+
+    lines = (tmp_path / "gin_output.txt").read_text().strip().splitlines()
+    assert len(lines) == 20  # every prediction accounted for, in order
+    got = np.array([float(l.split(": ")[1]) for l in lines])
+
+    # Ground truth: single-process plain forward over the same packing.
+    from flowgnn_tpu.core.graphs import pack_dataset
+
+    spec = registry.get("gin")
+    params = prepare_params(
+        spec.loader(os.path.join(REFERENCE, spec.reference_dir)), FLOAT32
+    )
+    from flowgnn_tpu.core.graphs import auto_edge_capacity
+
+    graphs = registry.apply_transforms(spec, synthetic_molhiv(20, seed=0))
+    buckets = list(pack_dataset(
+        graphs, node_capacity=255,
+        edge_capacity=max(1024, auto_edge_capacity(graphs, 255)),
+        graph_capacity=4,
+    ))
+    assert len(buckets) == 5
+    fwd = jax.jit(lambda p, b: spec.forward(p, b, FLOAT32))
+    want = np.concatenate(
+        [np.asarray(fwd(params, as_batch(b)))[: b.num_graphs, 0]
+         for b in buckets]
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
 def test_two_process_cluster_matches_single(tmp_path):
