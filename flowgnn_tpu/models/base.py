@@ -49,6 +49,7 @@ ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
     "pna": (512, 1536),  # dest-major slot kernel: W512 beats W256 (3.03 vs 3.43)
 }
 PALLAS_SLOTS = 8  # dest-major in-edge slots (PNA stats kernel)
+SPILL_SCATTER_WINDOW = 512  # scatter window of the kernelized spill tail
 # Windows per ELL grid step (k=1 layouts): >1 unrolls wps windows into one
 # Pallas step — wps× fewer grid steps paying dispatch overhead, wps×-taller
 # epilogue matmuls. Measured optima on v5e; FLOWGNN_ELL_WPS overrides.
@@ -148,6 +149,83 @@ def _attach_pool_layout(batch: dict, packed: PackedGraphs, window: int) -> None:
     batch["pool_gl"], batch["pool_row"] = out
 
 
+def _attach_spill_blocks(batch: dict, sp_recv: np.ndarray, n: int):
+    """Blocked windowed-scatter layout for the SPILL tail (VERDICT r2 #5).
+
+    XLA's scatter-add lowering pays per scattered index AND materialises
+    the full [N, D] output — measured 42% of the hep10k GIN-VN pass for a
+    spill tail that is 0.7% of the edges. The spill reduction instead
+    rides the windowed one-hot scatter kernel (ops/pallas/spmm.py).
+
+    The layout is built at pack time and the SPILL LANES THEMSELVES are
+    re-ordered into blocked order by the caller (the returned (perm,
+    valid) — no runtime permutation gather survives; XLA's per-row take
+    cost was the next-largest spill term after the scatter). A WIDE
+    scatter window (SPILL_SCATTER_WINDOW) keeps the mandatory
+    one-block-per-window grid small — the spill tail is step-bound, not
+    matmul-bound."""
+    from ..core.blocking import build_edge_blocks
+
+    w = SPILL_SCATTER_WINDOW
+    blk = build_edge_blocks(
+        np.asarray(sp_recv), n, edge_capacity=len(sp_recv),
+        window=w, block=PALLAS_BLOCK,
+    )
+    nb = blk.block_window.shape[0]
+    bs = blk.v_local.shape[0] // nb
+    valid2 = blk.valid.reshape(nb, bs)
+    # The builder emits one block per window even when empty; keep only
+    # blocks that carry real lanes and REMAP their windows to a compact
+    # id space [0, T) — the kernel's output then has T·w rows (plus one
+    # appended zero window), and the dense [n, D] spill term comes back
+    # via a T+1-entry window-granular take (spill_blk_winmap), never a
+    # per-row gather or an undefined output row.
+    keep = np.nonzero(valid2.any(axis=1))[0]
+    if keep.size == 0:
+        keep = np.array([0], np.int64)
+    wins = blk.block_window[keep]
+    uniq, t_ids = np.unique(wins, return_inverse=True)
+    winmap = np.full(-(-n // w), uniq.shape[0], np.int32)  # sentinel = T
+    winmap[uniq] = np.arange(uniq.shape[0], dtype=np.int32)
+    batch["spill_blk_vlocal"] = blk.v_local.reshape(nb, bs)[keep].reshape(-1)
+    batch["spill_blk_window"] = t_ids.astype(np.int32)
+    batch["spill_blk_winmap"] = winmap
+    batch["spill_blk_geom"] = np.zeros((w,), np.int8)  # window in the shape
+    return (
+        blk.perm.reshape(nb, bs)[keep].reshape(-1),
+        valid2[keep].reshape(-1),
+    )
+
+
+def spill_segment_sum(
+    vals: jnp.ndarray, v_tail: jnp.ndarray, batch: dict, n: int
+) -> jnp.ndarray:
+    """Spill-tail reduction dispatch: the windowed-scatter Pallas kernel
+    when the batch carries the pack-time spill blocked layout (single-chip
+    local layouts — spill lanes are ALREADY in blocked order there), XLA
+    segment-sum otherwise (halo shards and legacy paths)."""
+    if "spill_blk_vlocal" in batch:
+        from ..ops.pallas.spmm import windowed_segment_sum
+
+        w = int(batch["spill_blk_geom"].shape[0])
+        winmap = jnp.asarray(batch["spill_blk_winmap"])
+        # T compact windows: block ids are 0..T-1 (static, pack-time).
+        t = int(np.asarray(batch["spill_blk_window"]).max()) + 1
+        compact = windowed_segment_sum(
+            vals,
+            jnp.asarray(batch["spill_blk_vlocal"])[:, None],
+            jnp.asarray(batch["spill_blk_window"]),
+            w, t,
+        )
+        d = vals.shape[1]
+        out3 = jnp.concatenate(
+            [compact.reshape(t, w, d),
+             jnp.zeros((1, w, d), compact.dtype)], axis=0
+        )
+        return out3[winmap].reshape(-1, d)[:n]
+    return segment_sum(vals, v_tail, n)
+
+
 def _attach_degrees(batch: dict, n: int) -> None:
     """Host-precomputed degree tables (in_degree/out_degree read them when
     present). Degrees are graph constants — the reference precounts them
@@ -243,6 +321,18 @@ def as_batch(
         batch["slot_spill_mask"] = (
             np.arange(spill.shape[0]) < count
         )
+        if count:
+            # Blocked windowed-scatter layout for the spill merge, and the
+            # spill INDEX array itself re-ordered into blocked order at
+            # pack time (masked lanes → pad edges, matching the runtime
+            # sp_v the models derive).
+            sp_recv = np.where(
+                batch["slot_spill_mask"],
+                np.asarray(packed.receivers)[spill], n - 1,
+            )
+            perm, valid = _attach_spill_blocks(batch, sp_recv, n)
+            batch["slot_spill"] = np.where(valid, spill[perm], 0)
+            batch["slot_spill_mask"] = valid
         # Shape carries (window, slots) to the model — see ell_geometry.
         batch["slot_geom"] = np.zeros((w, s_slots), np.int32)
         _attach_pool_layout(batch, packed, w)
@@ -293,6 +383,14 @@ def as_batch(
         sp_s[n_sp:] = pad
         sp_r[n_sp:] = pad
         sp_a[n_sp:] = 0
+        if n_sp and blocked == "local_ell":
+            # Re-order the spill lanes into windowed-scatter blocked order
+            # AT PACK TIME (no runtime permutation survives); the blocked
+            # tail may be slightly longer (128-lane blocks).
+            perm, valid = _attach_spill_blocks(batch, sp_r, n)
+            sp_s = np.where(valid, sp_s[perm], pad)
+            sp_r = np.where(valid, sp_r[perm], pad)
+            sp_a = np.where(valid[:, None], sp_a[perm], 0)
         batch["senders"] = np.concatenate([s, sp_s])
         batch["receivers"] = np.concatenate([r, sp_r])
         batch["edge_attr"] = np.concatenate([a, sp_a])
@@ -418,9 +516,21 @@ def atom_embed(table: jnp.ndarray, node_feat: jnp.ndarray, prec: Precision) -> j
 
 
 def bond_embed(table_l: jnp.ndarray, edge_attr: jnp.ndarray, prec: Precision) -> jnp.ndarray:
-    """ee[e] = Σ_f BondTable_l[offset_f + attr_f[e]] (GIN/src/message_passing.cc:136-146)."""
+    """ee[e] = Σ_f BondTable_l[offset_f + attr_f[e]] (GIN/src/message_passing.cc:136-146).
+
+    Multi-hot [E, 13] matmul like atom_embed — XLA's row gather pays per
+    row (it dominated the kernelized spill tail), the one-hot compare +
+    MXU matmul does not, and it is the same sum exactly."""
     rows = edge_attr + jnp.asarray(BOND_FEATURE_OFFSETS)[None, :]
-    ee = jnp.take(table_l, rows, axis=0).sum(axis=1)
+    vocab = table_l.shape[0]
+    iota = jnp.arange(vocab, dtype=jnp.int32)[None, None, :]
+    multihot = (
+        (rows[:, :, None] == iota).astype(prec.compute_dtype).sum(axis=1)
+    )
+    ee = jnp.dot(
+        multihot, table_l.astype(prec.compute_dtype),
+        preferred_element_type=acc_dtype(prec),
+    )
     return prec.q(ee.astype(prec.compute_dtype))
 
 

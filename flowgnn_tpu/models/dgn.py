@@ -145,11 +145,11 @@ def forward(
             m_sp = None
             if has_spill:
                 x_sp = jnp.take(h, sp_u, axis=0)
-                m_sp = segment_sum(
+                m_sp = _base.spill_segment_sum(
                     jnp.concatenate(
                         [x_sp, eig_w_sp[:, None] * x_sp], axis=1
                     ),
-                    sp_v, n,
+                    sp_v, batch, n,
                 )
             h = prec.q(
                 dgn_local_layer_slots(
@@ -201,7 +201,7 @@ def forward(
                 sp = jnp.concatenate([x_sp, eig_w[P:][:, None] * x_sp], axis=1)
                 m_spill = (
                     segment_sum(sp, v[P:], n + 1)[:n]
-                    if halo else segment_sum(sp, v[P:], n)
+                    if halo else _base.spill_segment_sum(sp, v[P:], batch, n)
                 )
                 m1 = prec.q(m1_loc + m_spill[:, :d])
                 m2 = prec.q(m2_loc + m_spill[:, d:])

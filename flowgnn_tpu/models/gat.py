@@ -236,11 +236,11 @@ def forward(
                     jnp.where(raw_sp < 0, raw_sp * LEAKY_SLOPE, raw_sp)
                 ) * (sp_v < n - 1)[:, None].astype(prec.compute_dtype)
                 h_sp = jnp.take(h.reshape(n, H * D), sp_u, axis=0)
-                sp_both = segment_sum(
+                sp_both = _base.spill_segment_sum(
                     jnp.concatenate(
                         [jnp.repeat(sc_sp, D, axis=1) * h_sp, sc_sp], axis=1
                     ),
-                    sp_v, n,
+                    sp_v, batch, n,
                 )
                 both = gat_local_message_slots(
                     batch["slot_stack"], h.reshape(n, H * D), s_src, s_tgt,
@@ -297,12 +297,14 @@ def forward(
                 pad_cut = n if halo else n - 1
                 sc_sp = sc_sp * (v[P:] < pad_cut)[:, None].astype(sc_sp.dtype)
                 h_sp = jnp.take(h_src_flat, u[P:], axis=0)
-                sp_both = segment_sum(
-                    jnp.concatenate(
-                        [jnp.repeat(sc_sp, D, axis=1) * h_sp, sc_sp], axis=1
-                    ),
-                    v[P:], n + 1 if halo else n,
-                )[:n]
+                sp_vals = jnp.concatenate(
+                    [jnp.repeat(sc_sp, D, axis=1) * h_sp, sc_sp], axis=1
+                )
+                sp_both = (
+                    segment_sum(sp_vals, v[P:], n + 1)[:n]
+                    if halo
+                    else _base.spill_segment_sum(sp_vals, v[P:], batch, n)
+                )
             else:
                 sp_both = None
             if l != L - 1 and FUSE_LAYERS:

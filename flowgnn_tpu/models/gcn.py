@@ -186,7 +186,8 @@ def forward(
                 )
                 m_spill = (
                     segment_sum(spill_msg, v[P:], n + 1)[:n]
-                    if halo else segment_sum(spill_msg, v[P:], n)
+                    if halo
+                    else _base.spill_segment_sum(spill_msg, v[P:], batch, n)
                 )
                 m = prec.q(m_loc + m_spill)
             else:

@@ -154,7 +154,7 @@ def forward(
                     params["edge_embedding"][l], batch["edge_attr"][P:], prec
                 )
                 spill_msg = relu(jnp.take(h, u[P:], axis=0) + ee_spill)
-                m_spill = segment_sum(spill_msg, v[P:], n)
+                m_spill = _base.spill_segment_sum(spill_msg, v[P:], batch, n)
             else:
                 m_spill = jnp.zeros_like(h)
             h = gin_local_layer_ell(

@@ -155,8 +155,21 @@ def forward(
             if has_spill:
                 x_sp = jnp.take(hsrc, sp_u, axis=0)
                 ns = n + 1 if halo else n
-                s = s + segment_sum(x_sp, sp_v, ns)[:n]
-                s2 = s2 + segment_sum(x_sp * x_sp, sp_v, ns)[:n]
+                if halo:
+                    ss = segment_sum(
+                        jnp.concatenate([x_sp, x_sp * x_sp], axis=1),
+                        sp_v, ns,
+                    )[:n]
+                else:
+                    # Sum channels ride the windowed-scatter kernel (the
+                    # running min/max have no one-hot-matmul form and stay
+                    # XLA — they are the minority of the spill cost).
+                    ss = _base.spill_segment_sum(
+                        jnp.concatenate([x_sp, x_sp * x_sp], axis=1),
+                        sp_v, batch, n,
+                    )
+                s = s + ss[:, :d]
+                s2 = s2 + ss[:, d:]
                 mn = jnp.minimum(mn, segment_min(x_sp, sp_v, ns, MAX_INIT)[:n])
                 mx = jnp.maximum(mx, segment_max(x_sp, sp_v, ns, MIN_INIT)[:n])
         else:
