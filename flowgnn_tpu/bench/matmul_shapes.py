@@ -20,6 +20,7 @@ utilization relative to what its shapes allow.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -31,8 +32,8 @@ SHAPES = [
     ("gat slot gather int8", 1536, 256, 128, 5, 128, "int8"),
     ("pna slot gather [512,512]@[512,128]", 512, 512, 128, 5, 64, "bf16"),
     ("glue [256,64]@[64,136]", 256, 64, 136, 5, 128, "bf16"),
-    ("fat anchor [1536,1536]@[1536,512]", 1536, 1536, 512, 5, 32, "bf16"),
-    ("fat anchor int8", 1536, 1536, 512, 5, 32, "int8"),
+    ("fat anchor [1024,1024]@[1024,256]", 1024, 1024, 256, 5, 48, "bf16"),
+    ("fat anchor int8", 1024, 1024, 256, 5, 48, "int8"),
 ]
 
 
@@ -54,10 +55,12 @@ def measure(m, k, n, layers, grid, dtype, reps, trials=3):
                 preferred_element_type=jnp.int32 if int8 else jnp.float32,
             )
             acc += prod.astype(jnp.float32)
-            # Real inter-layer dependence so layers cannot CSE/collapse.
+            # NONLINEAR inter-layer dependence: an affine chain lets the
+            # compiler factor Σ aₗ@b = (Σ aₗ)@b into ONE matmul (observed:
+            # >100% "efficiency" before the relu was added).
             a = (
-                a.astype(jnp.float32) + prod[:, :1].astype(jnp.float32) * 0
-                + 1e-7
+                jnp.maximum(a.astype(jnp.float32), 0)
+                + prod[:, :1].astype(jnp.float32) * 1e-9
             ).astype(dt)
         o_ref[:] = acc
 
@@ -79,6 +82,7 @@ def measure(m, k, n, layers, grid, dtype, reps, trials=3):
             ],
             out_specs=pl.BlockSpec((m, n), lambda g: (g, 0)),
             out_shape=jax.ShapeDtypeStruct((grid * m, n), jnp.float32),
+            interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
         )(c.reshape(1, 1), a, b)
         return c + out[0, 0] * 0
 

@@ -168,3 +168,13 @@ def test_slot_stage_heterogeneous_buckets(monkeypatch):
     out = measure_slot_stage(batches, FLOAT32, reps=1, trials=1, layers=1,
                              dim=8)
     assert out["time_us"] > 0
+
+
+def test_matmul_shapes_measure_cpu(monkeypatch):
+    """The shape-achievable microbench (BASELINE.md re-derivation tool)
+    must stay runnable; interpret mode on CPU, tiny shape."""
+    monkeypatch.setenv("FLOWGNN_PALLAS_INTERPRET", "1")
+    from flowgnn_tpu.bench.matmul_shapes import measure
+
+    t = measure(8, 128, 128, 1, 2, "bf16", reps=1, trials=1)
+    assert t > 0
