@@ -83,6 +83,17 @@ def ell_wps(model: str) -> int:
 POOL_GMAX = 64  # graph slots per window in the in-kernel pooling layout
 
 
+def slot_prefix_caps(batch: dict, n_slots: int):
+    """Static per-slot prefix caps (degree-sorted layout) or None. The
+    caps ride in marker-array SHAPES so they survive the batch being a
+    jit argument (shapes are static; values would trace)."""
+    if "slot_pcap_0" not in batch:
+        return None
+    return tuple(
+        int(batch[f"slot_pcap_{k}"].shape[-2]) for k in range(n_slots)
+    )
+
+
 def pool_layout(
     ids: np.ndarray, num_graphs: int, window: int
 ) -> Optional[tuple[np.ndarray, np.ndarray]]:
@@ -114,7 +125,39 @@ def pool_layout(
     )
 
 
-def _attach_pool_layout(batch: dict, packed: PackedGraphs, window: int) -> None:
+def _pad_rows(arr: np.ndarray, rows: int, fill=0) -> np.ndarray:
+    out = np.full((rows,) + arr.shape[1:], fill, arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+def _window_degree_perm(
+    senders: np.ndarray, receivers: np.ndarray, n: int, window: int
+) -> np.ndarray:
+    """Permutation of the padded node axis that sorts each window's rows
+    by LOCAL in-degree, descending (stable). Real rows always precede the
+    window's phantom padding and the trailing pad node stays pinned at
+    index n−1, so slicing back to n rows keeps every real node and every
+    pad-node invariant. Returns perm over [0, NW·window) with
+    new_row r ← old_row perm[r]."""
+    num_windows = -(-n // window)
+    rows = num_windows * window
+    real_e = receivers < n - 1
+    loc = real_e & (senders // window == receivers // window)
+    deg = np.bincount(receivers[loc], minlength=rows).astype(np.int64)
+    pos = np.arange(rows, dtype=np.int64)
+    # Sort key per row: (window, -deg with pad-node→-1 and phantoms→-2,
+    # original position) — lexsort uses the LAST key as primary.
+    key_deg = deg.copy()
+    key_deg[n - 1] = -1  # the pad node: last real row of its window
+    key_deg[n:] = -2  # phantom padding rows: after every real row
+    order = np.lexsort((pos, -key_deg, pos // window))
+    return order.astype(np.int64)
+
+
+def _attach_pool_layout(
+    batch: dict, packed: PackedGraphs, window: int, ids=None
+) -> None:
     """In-kernel finalize layout: per-node graph-local ids + a static
     graph→row map, so the megakernels can mean-pool per window with a
     [W, GMAX] one-hot matmul instead of an XLA segment-sum scatter (the
@@ -129,7 +172,8 @@ def _attach_pool_layout(batch: dict, packed: PackedGraphs, window: int) -> None:
     row (finalize ≙ GIN/src/finalize.cc:14-115, computed in the kernel
     like the reference's dataflow finalize stage)."""
     out = pool_layout(
-        packed.node_graph, packed.n_node.shape[0], window
+        np.asarray(ids) if ids is not None else packed.node_graph,
+        packed.n_node.shape[0], window,
     )
     if out is None:
         # A window holds more than POOL_GMAX graphs (a dense stream of
@@ -294,15 +338,38 @@ def as_batch(
         # (capped at PALLAS_SLOTS — deeper in-degrees ride the spill tail):
         # molecular graphs peak at 5-7, so this cuts 1 − S/8 of every slot
         # kernel's gather lanes for free.
-        real = packed.receivers < n - 1
-        loc = real & (packed.senders // w == packed.receivers // w)
+        # Window-degree sort: rows of each window re-ordered by local
+        # in-degree (descending; the trailing pad node pinned last). A
+        # pure in-window relabeling — every consumer is order-free — that
+        # makes slot k's occupied lanes a PREFIX of the window, so the
+        # prefix-compacted gather layouts below drop the ~45% of slot
+        # lanes molecular degree distributions leave empty.
+        senders = np.asarray(packed.senders)
+        receivers = np.asarray(packed.receivers)
+        node_perm = _window_degree_perm(senders, receivers, n, w)
+        inv = np.empty_like(node_perm)
+        inv[node_perm] = np.arange(node_perm.shape[0])
+        nw_rows = node_perm.shape[0]  # NW·W (≥ n)
+        batch["node_feat"] = _pad_rows(packed.node_feat, nw_rows)[node_perm][:n]
+        batch["node_graph"] = _pad_rows(
+            packed.node_graph, nw_rows, fill=int(packed.n_node.shape[0] - 1)
+        )[node_perm][:n]
+        if packed.node_eigen is not None:
+            batch["node_eigen"] = _pad_rows(
+                packed.node_eigen, nw_rows
+            )[node_perm][:n]
+        senders = inv[senders].astype(np.int32)
+        receivers = inv[receivers].astype(np.int32)
+        batch["senders"], batch["receivers"] = senders, receivers
+
+        real = receivers < n - 1
+        loc = real & (senders // w == receivers // w)
         s_needed = int(
-            np.bincount(packed.receivers[loc], minlength=n).max()
+            np.bincount(receivers[loc], minlength=n).max()
         ) if loc.any() else 1
         s_slots = max(1, min(s_needed, PALLAS_SLOTS))
         slot_src, spill, count = build_local_slots(
-            packed.senders, packed.receivers, n,
-            window=w, slots=s_slots,
+            senders, receivers, n, window=w, slots=s_slots,
         )
         batch["slot_src"] = slot_src  # [NW·W, S] — rides the feature tile
         # GAT's stacked-gather kernel wants the [NW·S·W] column layout in a
@@ -310,13 +377,39 @@ def as_batch(
         # [R, 1]-blocked input; exact for W <= 256).
         import ml_dtypes
 
+        stack_dt = ml_dtypes.bfloat16 if w <= 256 else np.float32
         nw = slot_src.shape[0] // w
         stack = np.ascontiguousarray(
             slot_src.reshape(nw, w, s_slots).transpose(0, 2, 1)
         ).reshape(-1)
-        batch["slot_stack"] = stack.astype(
-            ml_dtypes.bfloat16 if w <= 256 else np.float32
-        )
+        batch["slot_stack"] = stack.astype(stack_dt)
+        if count == 0:
+            # PREFIX-compacted stacked layout (degree-sorted windows):
+            # slot k's real lanes are rows [0, c_k) of each window; the
+            # static per-slot caps (max over windows, 8-aligned) ride in
+            # ``slot_pcaps`` and cut the gather matmul's M from S·W to
+            # Σ c_k — ~40% on molhiv (no-spill buckets only: the prefix
+            # kernel is megakernel-only).
+            occ = (slot_src.reshape(nw, w, s_slots) < w).sum(axis=1)  # [NW, S]
+            # 64-row floor: Mosaic crashes lowering ops whose source is a
+            # single 8-sublane vreg against a ~full-window constant region
+            # ("Check failed: limits[i] <= dim(i)").
+            caps = np.minimum(-(-occ.max(axis=0) // 64) * 64, w)
+            caps = np.maximum(caps, 64)
+            m_rows = int(caps.sum())
+            pstack = np.full((nw, m_rows), w, np.int32)
+            off = 0
+            for k in range(s_slots):
+                c = int(caps[k])
+                pstack[:, off : off + c] = slot_src.reshape(
+                    nw, w, s_slots
+                )[:, :c, k]
+                off += c
+            batch["slot_pstack"] = pstack.reshape(-1).astype(stack_dt)
+            # Caps ride in SHAPES (one tiny marker per slot) so they stay
+            # static when the batch is a jit argument.
+            for k in range(s_slots):
+                batch[f"slot_pcap_{k}"] = np.zeros((int(caps[k]), 1), np.int8)
         batch["slot_spill"] = spill
         batch["slot_spill_mask"] = (
             np.arange(spill.shape[0]) < count
@@ -327,15 +420,14 @@ def as_batch(
             # pack time (masked lanes → pad edges, matching the runtime
             # sp_v the models derive).
             sp_recv = np.where(
-                batch["slot_spill_mask"],
-                np.asarray(packed.receivers)[spill], n - 1,
+                batch["slot_spill_mask"], receivers[spill], n - 1,
             )
             perm, valid = _attach_spill_blocks(batch, sp_recv, n)
             batch["slot_spill"] = np.where(valid, spill[perm], 0)
             batch["slot_spill_mask"] = valid
         # Shape carries (window, slots) to the model — see ell_geometry.
         batch["slot_geom"] = np.zeros((w, s_slots), np.int32)
-        _attach_pool_layout(batch, packed, w)
+        _attach_pool_layout(batch, packed, w, ids=batch["node_graph"])
         _attach_degrees(batch, n)
         return batch
     if blocked in ("local", "local_ell"):

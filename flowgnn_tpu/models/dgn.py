@@ -130,6 +130,7 @@ def forward(
             jnp.asarray(batch["pool_gl"]),
             params["mlp1_w"].T.astype(dt),
             window, n_slots, L, _base.POOL_GMAX,
+            prefix_caps=_base.slot_prefix_caps(batch, int(n_slots)),
         )
         pool = _base.pool_gather(pool, edge_axis if halo else None)
         z = relu(_base.pool_finish(pool, batch, params["mlp1_b"], prec))

@@ -23,6 +23,7 @@ and ..::test_gat_reference_feature_offset_bug pins the bug itself).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.numerics import FLOAT32, Precision
 from ..ops.segment import segment_sum
@@ -215,12 +216,18 @@ def forward(
                 prev.reshape(n, H * D), ops["skip0_w"],
                 preferred_element_type=acc_dtype(prec),
             )
+            # Degree-sorted prefix layout when available (as_batch builds
+            # it for no-spill slot buckets): ~40% less gather M.
+            prefix = _base.slot_prefix_caps(batch, n_slots)
             pool = model_kernel(
-                batch["slot_stack"], h.reshape(n, H * D), skip0,
+                batch["slot_pstack"] if prefix else batch["slot_stack"],
+                h.reshape(n, H * D), skip0,
                 jnp.concatenate([s_src, s_tgt], axis=1),
                 ops["glue_w"],
                 jnp.asarray(batch["pool_gl"]), ops["pred_hd"],
                 window, n_slots, H, L, _base.POOL_GMAX,
+                wps=int(_os.environ.get("FLOWGNN_GAT_WPS", "1")),
+                prefix_caps=prefix,
             )
         pool = _base.pool_gather(pool, edge_axis if halo else None)
         return _base.pool_finish(pool, batch, params["pred_b"], prec)

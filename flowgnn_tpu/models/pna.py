@@ -103,6 +103,7 @@ def forward(
             params["mlp1_w"].T.astype(dt),
             int(window), int(n_slots), L, _base.POOL_GMAX,
             MAX_INIT, MIN_INIT,
+            prefix_caps=_base.slot_prefix_caps(batch, int(n_slots)),
         )
         pool = _base.pool_gather(pool, edge_axis if halo else None)
         z = relu(_base.pool_finish(pool, batch, params["mlp1_b"], prec))

@@ -1357,9 +1357,14 @@ def _slot_cols(slot_src: jnp.ndarray, window: int, dtype) -> jnp.ndarray:
     return cols.astype(dtype)
 
 
-def _slot_onehot(h_ref, lanes_f, base: int, s: int, slots: int, window: int):
-    """One [W, W] one-hot gather matrix + [W, 1] valid mask for slot ``s``
-    from the encoded columns at ``base`` of the feature tile block.
+def _slot_onehot(h_ref, lanes_f, base: int, s: int, slots: int, window: int,
+                 rows: int | None = None):
+    """One [rows, W] one-hot gather matrix + [rows, 1] valid mask for slot
+    ``s`` from the encoded columns at ``base`` of the feature tile block.
+    ``rows`` < window slices the PREFIX of the window — with degree-sorted
+    windows (base._window_degree_perm) slot s's occupied lanes are exactly
+    rows [0, c_s), so the gather matmul's M shrinks to the static per-slot
+    cap.
 
     Measured note (v5e): S separate per-slot [W, W] gather matmuls beat
     both one stacked [S·W, W] matmul over a separately-DMA'd index column
@@ -1380,6 +1385,14 @@ def _slot_onehot(h_ref, lanes_f, base: int, s: int, slots: int, window: int):
             (lo == lanes_f % 256.0) & (hi == lanes_f // 256.0)
         ).astype(h_ref.dtype)
         valid = (lo + 256.0 * hi < float(window)).astype(jnp.float32)
+    if rows is not None and rows < window:
+        # Slice the FULL [W, W] one-hot (sublane-slicing the [W, 1] index
+        # column itself crashes Mosaic's layout pass); the valid mask is
+        # the sliced one-hot's row-sum — a sentinel row is all-zero.
+        onehot = onehot[:rows]
+        valid = jnp.sum(
+            onehot.astype(jnp.float32), axis=1, keepdims=True
+        )
     return onehot, valid
 
 
@@ -1563,9 +1576,16 @@ def pna_local_model(
     gmax: int,
     min_init: float,
     max_init: float,
+    prefix_caps: tuple | None = None,  # per-slot static caps (degree-sorted)
 ) -> jnp.ndarray:
     """The ENTIRE PNA conv stack (all L layers + finalize head) in ONE
     pallas call.
+
+    ``prefix_caps`` (degree-sorted windows, base.as_batch): slot s's
+    occupied lanes are rows [0, c_s), so each per-slot gather shrinks to
+    [c_s, W] @ [W, D] with contributions padded back (zeros for sum/sum²,
+    the accumulator seeds for min/max) — math identical, ~40% less M on
+    molecular degree distributions.
 
     Window-aligned packing keeps every edge in-window, so one grid step
     runs all L layers for its window with h resident in VMEM throughout:
@@ -1596,12 +1616,18 @@ def pna_local_model(
     t_out = mlp1_w.shape[1]
     cdt = h0.dtype
 
+    caps = (
+        tuple(min(int(c), window) for c in prefix_caps)
+        if prefix_caps is not None else (window,) * slots
+    )
+
     def kernel(x_ref, w_ref, b_ref, predw_ref, out_ref):
         lanes_f = jax.lax.broadcasted_iota(
             jnp.int32, (window, window), 1
         ).astype(jnp.float32)
         onehots = [
-            _slot_onehot(x_ref, lanes_f, d + 3, s, slots, window)
+            _slot_onehot(x_ref, lanes_f, d + 3, s, slots, window,
+                         rows=caps[s])
             for s in range(slots)
         ]  # built once, reused by every layer
         invd = x_ref[:, d : d + 1].astype(jnp.float32)
@@ -1616,13 +1642,28 @@ def pna_local_model(
             for s in range(slots):
                 onehot, valid = onehots[s]
                 h_u = jnp.dot(onehot, h, preferred_element_type=jnp.float32)
-                acc_s += h_u
-                acc_q += h_u * h_u
+
+                def _tail(x, fill):
+                    # concat (not jnp.pad): Mosaic crashes lowering pads
+                    # whose source has far fewer sublane tiles than the
+                    # constant region.
+                    if caps[s] == window:
+                        return x
+                    return jnp.concatenate(
+                        [x, jnp.full(
+                            (window - caps[s], d), fill, jnp.float32
+                        )], axis=0,
+                    )
+
+                acc_s += _tail(h_u, 0.0)
+                acc_q += _tail(h_u * h_u, 0.0)
                 acc_mn = jnp.minimum(
-                    acc_mn, jnp.where(valid > 0, h_u, min_init)
+                    acc_mn, _tail(jnp.where(valid > 0, h_u, min_init),
+                                  min_init)
                 )
                 acc_mx = jnp.maximum(
-                    acc_mx, jnp.where(valid > 0, h_u, max_init)
+                    acc_mx, _tail(jnp.where(valid > 0, h_u, max_init),
+                                  max_init)
                 )
             mean = acc_s * invd
             std = jnp.sqrt(jnp.maximum(acc_q * invd - mean * mean, 0.0))
@@ -1783,9 +1824,20 @@ def gat_local_model_slots(
     num_heads: int,
     num_layers: int,
     gmax: int,
+    wps: int = 1,  # independent windows interleaved per grid step
+    prefix_caps: tuple | None = None,  # per-slot static caps (degree-sorted)
 ) -> jnp.ndarray:
     """The ENTIRE GAT model (all L layers + glue + finalize) in ONE pallas
     call.
+
+    With ``prefix_caps`` (the degree-sorted PREFIX layout —
+    base.as_batch's ``slot_pstack``/``slot_pcaps``), slot k's occupied
+    lanes are rows [0, c_k) of each window: ``slot_stack`` is the
+    [NW·Σc_k] compacted index column and the gather matmul's M drops from
+    S·W to Σc_k (~40% on molhiv — molecular degree distributions leave
+    nearly half the fixed slot lanes empty). Per-slot reductions become
+    static prefix-slice accumulations; dest rank r IS window row r by the
+    sort. Math is identical.
 
     Window-aligned packing keeps every edge in-window, so a window's whole
     forward pass is independent of every other window: one grid step runs
@@ -1839,80 +1891,121 @@ def gat_local_model_slots(
         [h0, skip0.astype(cdt), s0.astype(cdt),
          pool_gl[:, None].astype(cdt)], axis=1
     )  # [NW·W, 2HD+2H+1]
-    sw = slots * window
+    if prefix_caps is not None:
+        caps = tuple(int(c) for c in prefix_caps)
+        offs = tuple(int(sum(caps[:k])) for k in range(len(caps)))
+        sw = int(sum(caps))
+    else:
+        caps = offs = None
+        sw = slots * window
+    if num_windows % wps:
+        wps = 1
+    xw = 2 * hd + 2 * nh + 1
 
     def kernel(uslot_ref, x_ref, glue_ref, predw_ref, out_ref):
-        uslot = uslot_ref[:, 0].astype(jnp.float32)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1).astype(
             jnp.float32
         )
-        onehot = (uslot[:, None] == lanes).astype(cdt)  # built once, used L×
-        valid_all = (uslot < float(window))[:, None].astype(jnp.float32)
         cols = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 1) // d
         rows = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 0)
         expand = (cols == rows).astype(jnp.float32)
 
-        h = x_ref[:, :hd]  # [W, HD] compute dtype
-        skip = x_ref[:, hd : 2 * hd].astype(jnp.float32)
-        s_src = x_ref[:, 2 * hd : 2 * hd + nh].astype(jnp.float32)
-        s_tgt = x_ref[:, 2 * hd + nh : 2 * hd + 2 * nh]
+        # wps > 1 interleaves INDEPENDENT windows through the layer loop so
+        # Mosaic can fill the MXU pipeline bubbles of one window's serial
+        # layer-dependency chain with the other's matmuls (the in-situ
+        # gather measured 1.65× its pure-chain time at wps=1).
+        st = []
+        for i in range(wps):
+            us = uslot_ref[i * sw : (i + 1) * sw, 0].astype(jnp.float32)
+            x = x_ref[i * window : (i + 1) * window]
+            st.append(dict(
+                onehot=(us[:, None] == lanes).astype(cdt),
+                valid=(us < float(window))[:, None].astype(jnp.float32),
+                x=x,
+                h=x[:, :hd],
+                skip=x[:, hd : 2 * hd].astype(jnp.float32),
+                s_src=x[:, 2 * hd : 2 * hd + nh].astype(jnp.float32),
+                s_tgt=x[:, 2 * hd + nh : 2 * hd + 2 * nh],
+            ))
         for l in range(num_layers):
-            hcat = jnp.concatenate([h, s_tgt.astype(cdt)], axis=1)
-            hu_all = jnp.dot(
-                onehot, hcat, preferred_element_type=jnp.float32
-            )  # [S·W, HD+H]
-            num = jnp.zeros((window, hd), jnp.float32)
-            den = jnp.zeros((window, nh), jnp.float32)
-            for s in range(slots):
-                sl = slice(s * window, (s + 1) * window)
-                h_u = hu_all[sl, :hd]
-                s2 = hu_all[sl, hd:]
-                raw = s_src + s2
-                score = (
-                    jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
-                    * valid_all[sl]
-                )
-                num += jnp.dot(
-                    score, expand, preferred_element_type=jnp.float32
-                ) * h_u
-                den += score
-            den = jnp.where(den == 0, 1.0, den)
-            msg = num / jnp.dot(den, expand, preferred_element_type=jnp.float32)
-            msg = msg.astype(cdt).astype(jnp.float32)  # ≙ prec.q(msg)
-            if l != num_layers - 1:
-                feat = msg + skip
-                feat = jnp.where(
-                    feat <= 0, jnp.exp(feat) - 1, feat
-                ).astype(cdt)  # ELU, ≙ prec.q(feat)
-                g = jnp.dot(
-                    feat,
-                    glue_ref[l * hd : (l + 1) * hd, :],
+            hu = [
+                jnp.dot(
+                    s["onehot"],
+                    jnp.concatenate(
+                        [s["h"], s["s_tgt"].astype(cdt)], axis=1
+                    ),
                     preferred_element_type=jnp.float32,
-                )  # [W, 2HD+2H] = [skip_{l+1} ‖ h_{l+1} ‖ scat_{l+1}]
-                skip = g[:, :hd]
-                h = g[:, hd : 2 * hd].astype(cdt)
-                scat = g[:, 2 * hd :]
-                s_src = scat[:, :nh].astype(cdt).astype(jnp.float32)
-                s_tgt = scat[:, nh:].astype(cdt)
-            else:
-                out_ref[:] = _pool_epilogue(
-                    msg + skip, x_ref, 2 * hd + 2 * nh, predw_ref,
-                    window, gmax,
                 )
+                for s in st
+            ]  # wps × [S·W, HD+H] — independent, pipeline-fillable
+            for i, s in enumerate(st):
+                num = jnp.zeros((window, hd), jnp.float32)
+                den = jnp.zeros((window, nh), jnp.float32)
+                for k in range(slots):
+                    if caps is not None:
+                        sl = slice(offs[k], offs[k] + caps[k])
+                        rows = slice(0, caps[k])  # dest rank r = row r
+                    else:
+                        sl = slice(k * window, (k + 1) * window)
+                        rows = slice(0, window)
+                    h_u = hu[i][sl, :hd]
+                    s2 = hu[i][sl, hd:]
+                    raw = s["s_src"][rows] + s2
+                    score = (
+                        jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+                        * s["valid"][sl]
+                    )
+                    contrib = jnp.dot(
+                        score, expand, preferred_element_type=jnp.float32
+                    ) * h_u
+                    if caps is not None and caps[k] < window:
+                        tail = ((0, window - caps[k]), (0, 0))
+                        num += jnp.pad(contrib, tail)
+                        den += jnp.pad(score, tail)
+                    else:
+                        num += contrib
+                        den += score
+                den = jnp.where(den == 0, 1.0, den)
+                msg = num / jnp.dot(
+                    den, expand, preferred_element_type=jnp.float32
+                )
+                s["msg"] = msg.astype(cdt).astype(jnp.float32)  # ≙ prec.q
+            if l != num_layers - 1:
+                for s in st:
+                    feat = s["msg"] + s["skip"]
+                    feat = jnp.where(
+                        feat <= 0, jnp.exp(feat) - 1, feat
+                    ).astype(cdt)  # ELU, ≙ prec.q(feat)
+                    g = jnp.dot(
+                        feat,
+                        glue_ref[l * hd : (l + 1) * hd, :],
+                        preferred_element_type=jnp.float32,
+                    )  # [W, 2HD+2H] = [skip_{l+1} ‖ h_{l+1} ‖ scat_{l+1}]
+                    s["skip"] = g[:, :hd]
+                    s["h"] = g[:, hd : 2 * hd].astype(cdt)
+                    scat = g[:, 2 * hd :]
+                    s["s_src"] = scat[:, :nh].astype(cdt).astype(jnp.float32)
+                    s["s_tgt"] = scat[:, nh:].astype(cdt)
+            else:
+                for i, s in enumerate(st):
+                    out_ref[i * gmax : (i + 1) * gmax] = _pool_epilogue(
+                        s["msg"] + s["skip"], s["x"], 2 * hd + 2 * nh,
+                        predw_ref, window, gmax,
+                    )
 
     out = pl.pallas_call(
         kernel,
-        grid=(num_windows,),
+        grid=(num_windows // wps,),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
         in_specs=[
-            pl.BlockSpec((sw, 1), lambda w: (w, 0)),
-            pl.BlockSpec((window, 2 * hd + 2 * nh + 1), lambda w: (w, 0)),
+            pl.BlockSpec((wps * sw, 1), lambda w: (w, 0)),
+            pl.BlockSpec((wps * window, xw), lambda w: (w, 0)),
             pl.BlockSpec(glue_w.shape, lambda w: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_specs=pl.BlockSpec((wps * gmax, t_out), lambda w: (w, 0)),
         out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2
@@ -2212,9 +2305,14 @@ def dgn_local_model(
     slots: int,
     num_layers: int,
     gmax: int,
+    prefix_caps: tuple | None = None,  # per-slot static caps (degree-sorted)
 ) -> jnp.ndarray:
     """The ENTIRE DGN conv stack (all L layers + finalize head) in ONE
     pallas call.
+
+    ``prefix_caps``: same degree-sorted prefix compaction as
+    pna_local_model — per-slot gathers shrink to [c_s, W], contributions
+    zero-padded back to the window.
 
     Same megakernel pattern as pna_local_model: one grid step runs all L
     layers for its window — slot one-hot gathers and the per-slot eig_u
@@ -2246,12 +2344,18 @@ def dgn_local_model(
     t_out = mlp1_w.shape[1]
     cdt = h0.dtype
 
+    caps = (
+        tuple(min(int(c), window) for c in prefix_caps)
+        if prefix_caps is not None else (window,) * slots
+    )
+
     def kernel(x_ref, w_ref, b_ref, predw_ref, out_ref):
         lanes_f = jax.lax.broadcasted_iota(
             jnp.int32, (window, window), 1
         ).astype(jnp.float32)
         onehots = [
-            _slot_onehot(x_ref, lanes_f, d + 4, s, slots, window)[0]
+            _slot_onehot(x_ref, lanes_f, d + 4, s, slots, window,
+                         rows=caps[s])[0]
             for s in range(slots)
         ]
         eig_col = x_ref[:, d : d + 1]
@@ -2271,8 +2375,17 @@ def dgn_local_model(
                 hu = jnp.dot(
                     onehots[s], h, preferred_element_type=jnp.float32
                 )
-                m1 += hu
-                m2a += e_u[s] * hu
+
+                def _tail(x):
+                    if caps[s] == window:
+                        return x
+                    return jnp.concatenate(
+                        [x, jnp.zeros((window - caps[s], d), jnp.float32)],
+                        axis=0,
+                    )
+
+                m1 += _tail(hu)
+                m2a += _tail(e_u[s] * hu)
             h_win = h.astype(jnp.float32)
             m2 = m2a - eig_win * m1
             a1 = m1 * invd

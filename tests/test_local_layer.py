@@ -334,11 +334,16 @@ def test_gat_dgn_local_slots_equals_plain(name, graphs16, reference_root):
     corrupt["slot_src"] = np.where(
         sbatch["slot_src"] < 256, 0, sbatch["slot_src"]
     ).astype(np.int32)
-    # GAT consumes the stacked float layout; corrupt it the same way so
-    # the guard bites whichever layout the model reads.
+    # GAT consumes the stacked float layouts (prefix-compacted when
+    # attached); corrupt them the same way so the guard bites whichever
+    # layout the model reads.
     corrupt["slot_stack"] = np.where(
         sbatch["slot_stack"] < 256, 0, sbatch["slot_stack"]
     ).astype(sbatch["slot_stack"].dtype)
+    if "slot_pstack" in sbatch:
+        corrupt["slot_pstack"] = np.where(
+            sbatch["slot_pstack"] < 256, 0, sbatch["slot_pstack"]
+        ).astype(sbatch["slot_pstack"].dtype)
     broken = spec.forward(jp, corrupt, FLOAT32)
     assert not np.allclose(np.asarray(broken)[:4], np.asarray(plain)[:4],
                            rtol=1e-5, atol=1e-5)
