@@ -269,7 +269,9 @@ def main() -> None:
         preferred_element_type=jnp.float32,
     )
     common = dict(
-        slot_stack=batch["slot_stack"], h0=h.reshape(n, H * D),
+        slot_stack=batch["slot_stack"],
+        slot_pstack=batch.get("slot_pstack", batch["slot_stack"]),
+        h0=h.reshape(n, H * D),
         prev0=prev.reshape(n, H * D), s0=s0,
         skip_w=ops["skip_w"], proj_w=ops["proj_w"], a_next=ops["a_next"],
         pool_gl=jnp.asarray(batch["pool_gl"]), pred_hd=ops["pred_hd"],
@@ -301,10 +303,14 @@ def main() -> None:
         return a["h0"] * 0 + 1
 
     geom = (window, n_slots, H, L, POOL_GMAX)
+    from ..models.base import slot_prefix_caps
+
+    pcaps = slot_prefix_caps(batch, n_slots)
     prod = dict(
         slots=lambda **a: gat_local_model_slots(
-            a["slot_stack"], a["h0"], a["skip0"], a["s0"], a["glue_w"],
-            a["pool_gl"], a["pred_hd"], *geom
+            a["slot_pstack"] if pcaps else a["slot_stack"],
+            a["h0"], a["skip0"], a["s0"], a["glue_w"],
+            a["pool_gl"], a["pred_hd"], *geom, prefix_caps=pcaps,
         ),
         dense=lambda **a: gat_local_model_dense(
             a["slot_stack"], a["h0"], a["prev0"], a["s0"], a["skip_w"],
