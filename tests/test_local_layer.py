@@ -39,6 +39,85 @@ def test_aligned_packing_no_straddle(graphs16):
         assert lb.spill_count == 0
 
 
+def test_window_degree_sort_invariants(graphs16):
+    """The degree-sorted slot layout (prefix compaction) must be a pure
+    in-window relabeling: permutation stays within windows, the trailing
+    pad node stays pinned at n−1, every real node survives the slice,
+    the graph is isomorphic (edge multiset preserved under relabeling),
+    and slot k's occupied lanes are a prefix of each window."""
+    from flowgnn_tpu.models.base import _window_degree_perm, as_batch
+
+    w = 256
+    caps = dict(node_capacity=512, edge_capacity=2048, graph_capacity=32)
+    packed = pack_graphs_aligned(graphs16, window=w, **caps)
+    n = 513
+    perm = _window_degree_perm(packed.senders, packed.receivers, n, w)
+    rows = perm.shape[0]
+    assert sorted(perm.tolist()) == list(range(rows))  # a permutation
+    assert np.all(perm // w == np.arange(rows) // w)  # within windows
+    assert perm[n - 1] == n - 1  # pad node pinned
+    assert np.all(np.sort(perm[:n]) == np.arange(n))  # real rows kept
+
+    batch = as_batch(packed, blocked="local_slots", window=w)
+    # Isomorphism: the (sender graph-id, receiver graph-id, edge_attr)
+    # multiset of real edges is preserved.
+    inv = np.empty(rows, np.int64)
+    inv[perm] = np.arange(rows)
+    real = packed.receivers < n - 1
+    old = set(
+        zip(inv[packed.senders[real]].tolist(),
+            inv[packed.receivers[real]].tolist())
+    )
+    new_real = batch["receivers"] < n - 1
+    new = set(
+        zip(batch["senders"][new_real].tolist(),
+            batch["receivers"][new_real].tolist())
+    )
+    assert old == new
+    # Prefix property: per window, slot k's occupied rows form a prefix
+    # not exceeding the static cap.
+    assert "slot_pstack" in batch and "slot_pcap_0" in batch
+    s_slots = batch["slot_geom"].shape[-1]
+    slot_src = batch["slot_src"].reshape(-1, w, s_slots)
+    from flowgnn_tpu.models.base import slot_prefix_caps
+
+    pcaps = slot_prefix_caps(batch, s_slots)
+    for k in range(s_slots):
+        occ = slot_src[:, :, k] < w  # [NW, W]
+        for wi in range(occ.shape[0]):
+            idx = np.nonzero(occ[wi])[0]
+            if idx.size:
+                assert idx.max() + 1 == idx.size, "not a prefix"
+                assert idx.size <= pcaps[k]
+
+
+def test_spill_blocked_segment_sum_matches_numpy():
+    """The kernelized spill tail (pack-time blocked layout + compact
+    windowed scatter + window-granular expansion) must equal a direct
+    NumPy scatter-add for arbitrary spill receivers."""
+    import jax.numpy as jnp
+
+    from flowgnn_tpu.models.base import _attach_spill_blocks, spill_segment_sum
+
+    rng = np.random.default_rng(5)
+    n, n_sp, d = 2048 + 1, 100, 16
+    sp_recv = rng.integers(0, n - 1, size=n_sp).astype(np.int32)
+    sp_recv[-7:] = n - 1  # pad lanes target the pad node → dropped
+    batch: dict = {}
+    perm, valid = _attach_spill_blocks(batch, sp_recv, n)
+    vals_orig = rng.normal(size=(n_sp, d)).astype(np.float32)
+    # The caller re-orders the spill lanes by (perm, valid) at pack time.
+    vals = np.where(valid[:, None], vals_orig[perm], 0.0)
+    v_tail = np.where(valid, sp_recv[perm], n - 1).astype(np.int32)
+    got = np.asarray(
+        spill_segment_sum(jnp.asarray(vals), jnp.asarray(v_tail), batch, n)
+    )
+    want = np.zeros((n, d), np.float32)
+    real = sp_recv < n - 1
+    np.add.at(want, sp_recv[real], vals_orig[real])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_local_blocks_cover_all_edges(graphs16):
     packed = pack_graphs_aligned(graphs16, window=128, **CAPS)
     lb = build_local_blocks(packed.senders, packed.receivers, 1025, 4096, 128, 128)
