@@ -26,6 +26,10 @@ protocol (one process → one relay floor for all rows):
               default list as a recorded dead end
   noglue    — skip/proj/score matmuls between layers removed
   nopool    — the in-kernel finalize epilogue removed
+  nodivide  — softmax denominator divide removed
+  nocast    — the msg bf16 quantization round-trip cast removed
+  staticcat — per-layer [h ‖ s_tgt] concat replaced by a stale layer-0
+              one (same shapes/ops minus the per-layer concat)
 
 Subtract noop, then (full − variant) is the stage's device cost per pass.
 
@@ -93,8 +97,18 @@ def _variant_model(variant: str, window: int, slots: int, num_heads: int,
             s_tgt = x_ref[:, 2 * hd + nh : 2 * hd + 2 * nh]
             if variant != "nogather":
                 onehot = (uslot[:, None] == lanes).astype(cdt)
+            hcat0 = jnp.concatenate([h, s_tgt.astype(cdt)], axis=1)
             for l in range(num_layers):
-                hcat = jnp.concatenate([h, s_tgt.astype(cdt)], axis=1)
+                if variant == "staticcat":
+                    # CAVEAT: loop-invariant operand — Mosaic hoists the
+                    # gather matmul too, so this over-measures the concat.
+                    hcat = hcat0
+                elif variant == "addcat":
+                    # Concat-free but layer-varying (scalar add keeps the
+                    # gather un-hoistable): isolates the concat itself.
+                    hcat = hcat0 + jnp.asarray(l * 1e-7, cdt)
+                else:
+                    hcat = jnp.concatenate([h, s_tgt.astype(cdt)], axis=1)
                 if variant == "nogather":
                     hu_all = jnp.concatenate(
                         [hcat.astype(jnp.float32)] * slots, axis=0
@@ -127,7 +141,9 @@ def _variant_model(variant: str, window: int, slots: int, num_heads: int,
                         ) * h_u
                     den += score
                 den = jnp.where(den == 0, 1.0, den)
-                if variant == "noexpand":
+                if variant == "nodivide":
+                    msg = num
+                elif variant == "noexpand":
                     msg = num / den[:, :1]
                 elif variant == "repeat":
                     msg = num / jnp.repeat(den, d, axis=1)
@@ -135,7 +151,8 @@ def _variant_model(variant: str, window: int, slots: int, num_heads: int,
                     msg = num / jnp.dot(
                         den, expand, preferred_element_type=jnp.float32
                     )
-                msg = msg.astype(cdt).astype(jnp.float32)
+                if variant != "nocast":
+                    msg = msg.astype(cdt).astype(jnp.float32)
                 if variant == "noglue":
                     if l != num_layers - 1:
                         h = msg.astype(cdt)

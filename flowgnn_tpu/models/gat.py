@@ -109,18 +109,30 @@ def megakernel_operands(params: dict, prec: Precision) -> dict:
     # pred_hd[h·D+k, t] = pred_w[t, k] / H.
     pred_hd = jnp.tile(params["pred_w"].T / H, (H, 1)).astype(cdt)
 
+    # Fused glue with the GATHER-PAYLOAD layout (round 3): each layer's
+    # output g = feat @ Gw is laid out [h(0:HD) ‖ s_tgt(HD:HD+H) ‖
+    # zeros(HD+H:PAY) ‖ skip_{l+1}(PAY:PAY+HD) ‖ s_src(PAY+HD:…)] with
+    # PAY = 128, so the next layer's gather operand is g's FIRST 128
+    # lanes — an aligned zero-offset slice. The per-layer in-kernel
+    # [h ‖ s_tgt] lane-concat this replaces measured ~0.28 µs/window/layer
+    # on v5e (bench/ablate_gat_mega.py addcat/staticcat rows); the zero
+    # columns are free (the glue matmul's N padded to 256 either way).
+    pay = max(128, hd + H)
     glue = []
     for l in range(L - 1):
         p_l = proj_w[l * hd : (l + 1) * hd]
+        scat_w = jnp.dot(
+            p_l.astype(jnp.float32),
+            a_next[l * hd : (l + 1) * hd].astype(jnp.float32),
+        ).astype(cdt)  # [HD, 2H] = [a_src ‖ a_tgt]
         glue.append(
             jnp.concatenate(
                 [
+                    p_l,  # h
+                    scat_w[:, H:],  # s_tgt — rides the gather payload
+                    jnp.zeros((hd, pay - hd - H), cdt),
                     skip_w[(l + 1) * hd : (l + 2) * hd],
-                    p_l,
-                    jnp.dot(
-                        p_l.astype(jnp.float32),
-                        a_next[l * hd : (l + 1) * hd].astype(jnp.float32),
-                    ).astype(cdt),
+                    scat_w[:, :H],  # s_src
                 ],
                 axis=1,
             )
@@ -129,7 +141,7 @@ def megakernel_operands(params: dict, prec: Precision) -> dict:
         skip_w=skip_w, proj_w=proj_w, a_next=a_next, pred_hd=pred_hd,
         skip0_w=skip_w[:hd],
         glue_w=jnp.concatenate(glue, axis=0) if glue else
-        jnp.zeros((0, 2 * hd + 2 * H), cdt),
+        jnp.zeros((0, pay + hd + H), cdt),
     )
 
 

@@ -1667,14 +1667,16 @@ def pna_local_model(
                 )
             mean = acc_s * invd
             std = jnp.sqrt(jnp.maximum(acc_q * invd - mean * mean, 0.0))
-            stats = jnp.concatenate(
-                [mean, acc_mn, acc_mx, std], axis=1
-            ).astype(cdt)
-            y = jnp.dot(
-                stats,
-                w_ref[l * 4 * d : (l + 1) * 4 * d, :],
-                preferred_element_type=jnp.float32,
-            )
+            # Four split matmuls instead of concat([mean,min,max,std]) @ w
+            # — the tower is block-row separable and in-kernel lane
+            # concats measured ~0.28 µs/window/layer on v5e.
+            y = jnp.zeros((window, w_ref.shape[1]), jnp.float32)
+            for j, part in enumerate((mean, acc_mn, acc_mx, std)):
+                y += jnp.dot(
+                    part.astype(cdt),
+                    w_ref[l * 4 * d + j * d : l * 4 * d + (j + 1) * d, :],
+                    preferred_element_type=jnp.float32,
+                )
             acc = (
                 y[:, :d] + t_w * y[:, d : 2 * d] + sc_w * y[:, 2 * d :]
                 + b_ref[l : l + 1, :].astype(jnp.float32)
@@ -1887,10 +1889,18 @@ def gat_local_model_slots(
         s0 = jnp.pad(s0, ((0, pad), (0, 0)))
     cdt = h0.dtype
     t_out = pred_hd.shape[1]
+    pay = max(128, hd + nh)  # gather-payload lanes (see models/gat.py)
+    # The persistent gather payload hx = [h ‖ s_tgt ‖ zeros] occupies the
+    # FIRST `pay` lanes of both the feature tile and the glue output, so
+    # every layer's gather operand is an aligned zero-offset slice — the
+    # per-layer in-kernel [h ‖ s_tgt] lane-concat it replaces measured
+    # ~0.28 µs/window/layer (bench/ablate_gat_mega.py).
     xcat = jnp.concatenate(
-        [h0, skip0.astype(cdt), s0.astype(cdt),
+        [h0, s0[:, nh:].astype(cdt),
+         jnp.zeros((h0.shape[0], pay - hd - nh), cdt),
+         skip0.astype(cdt), s0[:, :nh].astype(cdt),
          pool_gl[:, None].astype(cdt)], axis=1
-    )  # [NW·W, 2HD+2H+1]
+    )  # [NW·W, PAY+HD+H+1]
     if prefix_caps is not None:
         caps = tuple(int(c) for c in prefix_caps)
         offs = tuple(int(sum(caps[:k])) for k in range(len(caps)))
@@ -1900,7 +1910,7 @@ def gat_local_model_slots(
         sw = slots * window
     if num_windows % wps:
         wps = 1
-    xw = 2 * hd + 2 * nh + 1
+    xw = pay + hd + nh + 1
 
     def kernel(uslot_ref, x_ref, glue_ref, predw_ref, out_ref):
         lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1).astype(
@@ -1922,25 +1932,21 @@ def gat_local_model_slots(
                 onehot=(us[:, None] == lanes).astype(cdt),
                 valid=(us < float(window))[:, None].astype(jnp.float32),
                 x=x,
-                h=x[:, :hd],
-                skip=x[:, hd : 2 * hd].astype(jnp.float32),
-                s_src=x[:, 2 * hd : 2 * hd + nh].astype(jnp.float32),
-                s_tgt=x[:, 2 * hd + nh : 2 * hd + 2 * nh],
+                hx=x[:, :pay],
+                skip=x[:, pay : pay + hd].astype(jnp.float32),
+                s_src=x[:, pay + hd : pay + hd + nh].astype(jnp.float32),
             ))
         for l in range(num_layers):
             hu = [
                 jnp.dot(
-                    s["onehot"],
-                    jnp.concatenate(
-                        [s["h"], s["s_tgt"].astype(cdt)], axis=1
-                    ),
+                    s["onehot"], s["hx"],
                     preferred_element_type=jnp.float32,
                 )
                 for s in st
-            ]  # wps × [S·W, HD+H] — independent, pipeline-fillable
+            ]  # wps × [S·W, PAY] — independent, pipeline-fillable
             for i, s in enumerate(st):
                 num = jnp.zeros((window, hd), jnp.float32)
-                den = jnp.zeros((window, nh), jnp.float32)
+                denx = jnp.zeros((window, hd), jnp.float32)
                 for k in range(slots):
                     if caps is not None:
                         sl = slice(offs[k], offs[k] + caps[k])
@@ -1949,26 +1955,28 @@ def gat_local_model_slots(
                         sl = slice(k * window, (k + 1) * window)
                         rows = slice(0, window)
                     h_u = hu[i][sl, :hd]
-                    s2 = hu[i][sl, hd:]
+                    s2 = hu[i][sl, hd : hd + nh]
                     raw = s["s_src"][rows] + s2
                     score = (
                         jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
                         * s["valid"][sl]
                     )
-                    contrib = jnp.dot(
+                    # One expand matmul serves BOTH the numerator weights
+                    # and the (expanded) denominator — accumulating denx
+                    # head-expanded also keeps every prefix-pad operand a
+                    # matmul output (offset-0 layout; Mosaic cannot
+                    # concat/pad lane-offset narrow vectors).
+                    scorex = jnp.dot(
                         score, expand, preferred_element_type=jnp.float32
-                    ) * h_u
+                    )
                     if caps is not None and caps[k] < window:
                         tail = ((0, window - caps[k]), (0, 0))
-                        num += jnp.pad(contrib, tail)
-                        den += jnp.pad(score, tail)
+                        num += jnp.pad(scorex * h_u, tail)
+                        denx += jnp.pad(scorex, tail)
                     else:
-                        num += contrib
-                        den += score
-                den = jnp.where(den == 0, 1.0, den)
-                msg = num / jnp.dot(
-                    den, expand, preferred_element_type=jnp.float32
-                )
+                        num += scorex * h_u
+                        denx += scorex
+                msg = num / jnp.where(denx == 0, 1.0, denx)
                 s["msg"] = msg.astype(cdt).astype(jnp.float32)  # ≙ prec.q
             if l != num_layers - 1:
                 for s in st:
@@ -1980,16 +1988,16 @@ def gat_local_model_slots(
                         feat,
                         glue_ref[l * hd : (l + 1) * hd, :],
                         preferred_element_type=jnp.float32,
-                    )  # [W, 2HD+2H] = [skip_{l+1} ‖ h_{l+1} ‖ scat_{l+1}]
-                    s["skip"] = g[:, :hd]
-                    s["h"] = g[:, hd : 2 * hd].astype(cdt)
-                    scat = g[:, 2 * hd :]
-                    s["s_src"] = scat[:, :nh].astype(cdt).astype(jnp.float32)
-                    s["s_tgt"] = scat[:, nh:].astype(cdt)
+                    )  # [W, PAY+HD+H] = [hx_{l+1} ‖ skip_{l+1} ‖ s_src_{l+1}]
+                    s["hx"] = g[:, :pay].astype(cdt)
+                    s["skip"] = g[:, pay : pay + hd]
+                    s["s_src"] = (
+                        g[:, pay + hd :].astype(cdt).astype(jnp.float32)
+                    )
             else:
                 for i, s in enumerate(st):
                     out_ref[i * gmax : (i + 1) * gmax] = _pool_epilogue(
-                        s["msg"] + s["skip"], s["x"], 2 * hd + 2 * nh,
+                        s["msg"] + s["skip"], s["x"], pay + hd + nh,
                         predw_ref, window, gmax,
                     )
 
@@ -2390,10 +2398,16 @@ def dgn_local_model(
             m2 = m2a - eig_win * m1
             a1 = m1 * invd
             a2 = jnp.abs(m2 - ews * h_win) * inva
-            a = jnp.concatenate([a1, a2], axis=1).astype(cdt)
+            # Two split matmuls instead of concat([a1, a2]) @ w — the
+            # in-kernel lane concat measured ~0.28 µs/window/layer on v5e
+            # (same math: the posttrans is block-row separable).
             acc = jnp.dot(
-                a,
-                w_ref[l * 2 * d : (l + 1) * 2 * d, :],
+                a1.astype(cdt),
+                w_ref[l * 2 * d : l * 2 * d + d, :],
+                preferred_element_type=jnp.float32,
+            ) + jnp.dot(
+                a2.astype(cdt),
+                w_ref[l * 2 * d + d : (l + 1) * 2 * d, :],
                 preferred_element_type=jnp.float32,
             ) + b_ref[l : l + 1, :].astype(jnp.float32)
             h = (h_win + jnp.maximum(acc, 0.0)).astype(cdt)
