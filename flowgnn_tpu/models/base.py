@@ -193,52 +193,90 @@ def _attach_pool_layout(
     batch["pool_gl"], batch["pool_row"] = out
 
 
-def _attach_spill_blocks(batch: dict, sp_recv: np.ndarray, n: int):
-    """Blocked windowed-scatter layout for the SPILL tail (VERDICT r2 #5).
+def _attach_spill_blocks(
+    batch: dict, sp_recv: np.ndarray, n: int,
+    sp_send: Optional[np.ndarray] = None,
+):
+    """PAIR-blocked layout for the SPILL tail (VERDICT r2 #5).
 
     XLA's scatter-add lowering pays per scattered index AND materialises
     the full [N, D] output — measured 42% of the hep10k GIN-VN pass for a
-    spill tail that is 0.7% of the edges. The spill reduction instead
-    rides the windowed one-hot scatter kernel (ops/pallas/spmm.py).
+    spill tail that is 0.7% of the edges — and XLA's per-row gather of
+    the spill SOURCES was the next-largest term. Spill lanes are sorted
+    by (receiver scatter-window, sender window) and padded to 128-lane
+    blocks per pair, so ONE lane order serves both sides:
 
-    The layout is built at pack time and the SPILL LANES THEMSELVES are
-    re-ordered into blocked order by the caller (the returned (perm,
-    valid) — no runtime permutation gather survives; XLA's per-row take
-    cost was the next-largest spill term after the scatter). A WIDE
-    scatter window (SPILL_SCATTER_WINDOW) keeps the mandatory
-    one-block-per-window grid small — the spill tail is step-bound, not
-    matmul-bound."""
-    from ..core.blocking import build_edge_blocks
+      * scatter: the windowed one-hot kernel (ops/pallas/spmm.py) over a
+        COMPACT remapping of the touched receiver windows (the dense
+        [n, D] term returns via one T+1-entry window-granular take —
+        spill_blk_winmap — never a per-row op);
+      * gather (``sp_send`` given): each block reads ONE sender window,
+        so h_u comes from a batched [NB, 128, w] one-hot matmul against
+        NB window slices (base.spill_gather) — the one-hots themselves
+        are precomputed here at pack time (spill_gblk_onehot).
 
+    The caller re-orders the spill lanes by the returned (perm, valid)
+    at pack time; no runtime permutation survives. Molecular spill tails
+    pair-pad benignly (hep10k GIN-VN: 2-10 pairs/bucket, ≤4% padding)."""
     w = SPILL_SCATTER_WINDOW
-    blk = build_edge_blocks(
-        np.asarray(sp_recv), n, edge_capacity=len(sp_recv),
-        window=w, block=PALLAS_BLOCK,
+    nw = -(-n // w)
+    sp_recv = np.asarray(sp_recv)
+    real = np.nonzero(sp_recv < n - 1)[0]
+    rw = sp_recv[real] // w
+    srcw = (
+        np.asarray(sp_send)[real] // w if sp_send is not None
+        else np.zeros(real.shape[0], np.int64)
     )
-    nb = blk.block_window.shape[0]
-    bs = blk.v_local.shape[0] // nb
-    valid2 = blk.valid.reshape(nb, bs)
-    # The builder emits one block per window even when empty; keep only
-    # blocks that carry real lanes and REMAP their windows to a compact
-    # id space [0, T) — the kernel's output then has T·w rows (plus one
-    # appended zero window), and the dense [n, D] spill term comes back
-    # via a T+1-entry window-granular take (spill_blk_winmap), never a
-    # per-row gather or an undefined output row.
-    keep = np.nonzero(valid2.any(axis=1))[0]
-    if keep.size == 0:
-        keep = np.array([0], np.int64)
-    wins = blk.block_window[keep]
-    uniq, t_ids = np.unique(wins, return_inverse=True)
-    winmap = np.full(-(-n // w), uniq.shape[0], np.int32)  # sentinel = T
+    order = np.lexsort((real, srcw, rw))
+    real, rw, srcw = real[order], rw[order], srcw[order]
+    blocks: list = []
+    i = 0
+    while i < real.shape[0]:
+        j = i
+        while j < real.shape[0] and rw[j] == rw[i] and srcw[j] == srcw[i]:
+            j += 1
+        seg = real[i:j]
+        for b in range(-(-seg.shape[0] // PALLAS_BLOCK)):
+            blocks.append(
+                (int(rw[i]), int(srcw[i]),
+                 seg[b * PALLAS_BLOCK : (b + 1) * PALLAS_BLOCK])
+            )
+        i = j
+    if not blocks:
+        blocks = [(0, 0, np.zeros(0, np.int64))]
+    nb = len(blocks)
+    perm = np.zeros(nb * PALLAS_BLOCK, np.int64)
+    valid = np.zeros(nb * PALLAS_BLOCK, bool)
+    for bi, (_, _, lanes) in enumerate(blocks):
+        perm[bi * PALLAS_BLOCK : bi * PALLAS_BLOCK + lanes.shape[0]] = lanes
+        valid[bi * PALLAS_BLOCK : bi * PALLAS_BLOCK + lanes.shape[0]] = True
+    vloc = np.full(nb * PALLAS_BLOCK, w, np.int32)
+    vloc[valid] = sp_recv[perm[valid]] % w
+    recw = np.array([b[0] for b in blocks], np.int64)
+    uniq, t_ids = np.unique(recw, return_inverse=True)
+    winmap = np.full(nw, uniq.shape[0], np.int32)  # sentinel = T
     winmap[uniq] = np.arange(uniq.shape[0], dtype=np.int32)
-    batch["spill_blk_vlocal"] = blk.v_local.reshape(nb, bs)[keep].reshape(-1)
+    batch["spill_blk_vlocal"] = vloc
     batch["spill_blk_window"] = t_ids.astype(np.int32)
     batch["spill_blk_winmap"] = winmap
     batch["spill_blk_geom"] = np.zeros((w,), np.int8)  # window in the shape
-    return (
-        blk.perm.reshape(nb, bs)[keep].reshape(-1),
-        valid2[keep].reshape(-1),
-    )
+    if sp_send is not None:
+        ul = np.full(nb * PALLAS_BLOCK, w, np.int32)
+        ul[valid] = np.asarray(sp_send)[perm[valid]] % w
+        src_ids = np.array([b[1] for b in blocks], np.int32)
+        # spill_gather slices h to its FULL windows (padding h costs a
+        # full [N, D] copy per layer); real senders are < n−1 so they
+        # can never live in a partial trailing window for our capacities.
+        assert int(src_ids.max(initial=0)) < n // w, (
+            "spill sender in the partial tail window — pack capacity "
+            "must be a multiple of the spill scatter window plus one"
+        )
+        batch["spill_gblk_src"] = src_ids
+        batch["spill_gblk_onehot"] = (
+            ul.reshape(nb, PALLAS_BLOCK)[:, :, None]
+            == np.arange(w)[None, None, :]
+        ).astype(ml_dtypes.bfloat16)
+    return perm, valid
 
 
 def spill_segment_sum(
@@ -268,6 +306,29 @@ def spill_segment_sum(
         )
         return out3[winmap].reshape(-1, d)[:n]
     return segment_sum(vals, v_tail, n)
+
+
+def spill_gather(
+    h: jnp.ndarray, u_tail: jnp.ndarray, batch: dict, n: int
+) -> jnp.ndarray:
+    """Spill-tail SOURCE gather dispatch: with the pair-blocked layout
+    each 128-lane block reads one sender window, so h_u is NB big window
+    slices + one batched one-hot matmul (pack-time one-hots) — XLA's
+    per-row take was ~1 µs/graph on hep10k GIN-VN. Falls back to take
+    (halo shards, legacy paths). Pad/masked lanes gather exact zeros."""
+    if "spill_gblk_src" not in batch:
+        return jnp.take(h, u_tail, axis=0)
+    w = int(batch["spill_blk_geom"].shape[0])
+    d = h.shape[1]
+    # Slice to FULL windows (a pad would copy all of h per layer); the
+    # pack-time builder asserts no spill sender lives in the partial tail.
+    nw = n // w
+    blocks = h[: nw * w].reshape(nw, w, d)[jnp.asarray(batch["spill_gblk_src"])]
+    oh = jnp.asarray(batch["spill_gblk_onehot"]).astype(h.dtype)
+    out = jnp.einsum(
+        "bpw,bwd->bpd", oh, blocks, preferred_element_type=jnp.float32
+    )
+    return out.reshape(-1, d).astype(h.dtype)
 
 
 def _attach_degrees(batch: dict, n: int) -> None:
@@ -422,7 +483,12 @@ def as_batch(
             sp_recv = np.where(
                 batch["slot_spill_mask"], receivers[spill], n - 1,
             )
-            perm, valid = _attach_spill_blocks(batch, sp_recv, n)
+            sp_send = np.where(
+                batch["slot_spill_mask"], senders[spill], n - 1,
+            )
+            perm, valid = _attach_spill_blocks(
+                batch, sp_recv, n, sp_send=sp_send,
+            )
             batch["slot_spill"] = np.where(valid, spill[perm], 0)
             batch["slot_spill_mask"] = valid
         # Shape carries (window, slots) to the model — see ell_geometry.
@@ -479,7 +545,7 @@ def as_batch(
             # Re-order the spill lanes into windowed-scatter blocked order
             # AT PACK TIME (no runtime permutation survives); the blocked
             # tail may be slightly longer (128-lane blocks).
-            perm, valid = _attach_spill_blocks(batch, sp_r, n)
+            perm, valid = _attach_spill_blocks(batch, sp_r, n, sp_send=sp_s)
             sp_s = np.where(valid, sp_s[perm], pad)
             sp_r = np.where(valid, sp_r[perm], pad)
             sp_a = np.where(valid[:, None], sp_a[perm], 0)

@@ -145,7 +145,7 @@ def forward(
             ).T
             m_sp = None
             if has_spill:
-                x_sp = jnp.take(h, sp_u, axis=0)
+                x_sp = _base.spill_gather(h, sp_u, batch, n)
                 m_sp = _base.spill_segment_sum(
                     jnp.concatenate(
                         [x_sp, eig_w_sp[:, None] * x_sp], axis=1
@@ -198,7 +198,10 @@ def forward(
                 window, k_blocks,
             )
             if has_spill:
-                x_sp = jnp.take(hsrc, u[P:], axis=0)
+                x_sp = (
+                    jnp.take(hsrc, u[P:], axis=0) if halo
+                    else _base.spill_gather(h, u[P:], batch, n)
+                )
                 sp = jnp.concatenate([x_sp, eig_w[P:][:, None] * x_sp], axis=1)
                 m_spill = (
                     segment_sum(sp, v[P:], n + 1)[:n]

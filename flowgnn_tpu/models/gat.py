@@ -254,7 +254,9 @@ def forward(
                 sc_sp = jnp.exp(
                     jnp.where(raw_sp < 0, raw_sp * LEAKY_SLOPE, raw_sp)
                 ) * (sp_v < n - 1)[:, None].astype(prec.compute_dtype)
-                h_sp = jnp.take(h.reshape(n, H * D), sp_u, axis=0)
+                h_sp = _base.spill_gather(
+                    h.reshape(n, H * D), sp_u, batch, n
+                )
                 sp_both = _base.spill_segment_sum(
                     jnp.concatenate(
                         [jnp.repeat(sc_sp, D, axis=1) * h_sp, sc_sp], axis=1
@@ -315,7 +317,10 @@ def forward(
                 # Mask pad spill lanes (u == v == pad node would score 1).
                 pad_cut = n if halo else n - 1
                 sc_sp = sc_sp * (v[P:] < pad_cut)[:, None].astype(sc_sp.dtype)
-                h_sp = jnp.take(h_src_flat, u[P:], axis=0)
+                h_sp = (
+                    jnp.take(h_src_flat, u[P:], axis=0) if halo
+                    else _base.spill_gather(h_src_flat, u[P:], batch, n)
+                )
                 sp_vals = jnp.concatenate(
                     [jnp.repeat(sc_sp, D, axis=1) * h_sp, sc_sp], axis=1
                 )

@@ -181,9 +181,11 @@ def forward(
                 ee_spill = bond_embed(
                     params["edge_embedding"][l], batch["edge_attr"][P:], prec
                 )
-                spill_msg = norm_spill * relu(
-                    jnp.take(hsrc, u[P:], axis=0) + ee_spill
+                h_sp = (
+                    jnp.take(hsrc, u[P:], axis=0) if halo
+                    else _base.spill_gather(h, u[P:], batch, n)
                 )
+                spill_msg = norm_spill * relu(h_sp + ee_spill)
                 m_spill = (
                     segment_sum(spill_msg, v[P:], n + 1)[:n]
                     if halo

@@ -153,7 +153,9 @@ def forward(
                 ee_spill = bond_embed(
                     params["edge_embedding"][l], batch["edge_attr"][P:], prec
                 )
-                spill_msg = relu(jnp.take(h, u[P:], axis=0) + ee_spill)
+                spill_msg = relu(
+                    _base.spill_gather(h, u[P:], batch, n) + ee_spill
+                )
                 m_spill = _base.spill_segment_sum(spill_msg, v[P:], batch, n)
             else:
                 m_spill = jnp.zeros_like(h)

@@ -154,7 +154,10 @@ def forward(
             mn = st[:, 2 * d : 3 * d]
             mx = st[:, 3 * d :]
             if has_spill:
-                x_sp = jnp.take(hsrc, sp_u, axis=0)
+                x_sp = (
+                    jnp.take(hsrc, sp_u, axis=0) if halo
+                    else _base.spill_gather(h, sp_u, batch, n)
+                )
                 ns = n + 1 if halo else n
                 if halo:
                     ss = segment_sum(
