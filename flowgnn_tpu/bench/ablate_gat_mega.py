@@ -221,6 +221,156 @@ def _variant_model(variant: str, window: int, slots: int, num_heads: int,
     return model
 
 
+def _variant_model_v3(variant: str, window: int, slots: int, num_heads: int,
+                      num_layers: int, gmax: int, prefix_caps):
+    """Round-3 PRODUCTION-structure replica (prefix-compacted stacked
+    gather, payload layout, fused glue, expanded denominator) with one
+    stage knocked out — `v3` is the drift anchor; `v3:<stage>` rows
+    attribute the CURRENT kernel's time. Mirrors
+    ops/pallas/local_layer.py:gat_local_model_slots at wps=1."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def model(pstack, h0, skip0, s0, glue_w, pool_gl, pred_hd):
+        from ..ops.pallas.local_layer import _pool_epilogue
+
+        n, hd = h0.shape
+        d = hd // num_heads
+        nh = num_heads
+        num_windows = -(-n // window)
+        pad = num_windows * window - n
+        if pad:
+            h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+            skip0 = jnp.pad(skip0, ((0, pad), (0, 0)))
+            s0 = jnp.pad(s0, ((0, pad), (0, 0)))
+        cdt = h0.dtype
+        t_out = pred_hd.shape[1]
+        pay = max(128, hd + nh)
+        xcat = jnp.concatenate(
+            [h0, s0[:, nh:].astype(cdt),
+             jnp.zeros((h0.shape[0], pay - hd - nh), cdt),
+             skip0.astype(cdt), s0[:, :nh].astype(cdt),
+             pool_gl[:, None].astype(cdt)], axis=1
+        )
+        caps = tuple(int(c) for c in prefix_caps)
+        offs = tuple(int(sum(caps[:k])) for k in range(len(caps)))
+        sw = int(sum(caps))
+        xw = pay + hd + nh + 1
+
+        def kernel(uslot_ref, x_ref, glue_ref, predw_ref, out_ref):
+            lanes = jax.lax.broadcasted_iota(
+                jnp.int32, (sw, window), 1
+            ).astype(jnp.float32)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 1) // d
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 0)
+            expand = (cols == rows).astype(jnp.float32)
+            us = uslot_ref[:, 0].astype(jnp.float32)
+            onehot = (us[:, None] == lanes).astype(cdt)
+            valid = (us < float(window))[:, None].astype(jnp.float32)
+            hx = x_ref[:, :pay]
+            skip = x_ref[:, pay : pay + hd].astype(jnp.float32)
+            s_src = x_ref[:, pay + hd : pay + hd + nh].astype(jnp.float32)
+            for l in range(num_layers):
+                if variant == "nogather":
+                    hu = jnp.concatenate(
+                        [hx.astype(jnp.float32)]
+                        * (-(-sw // window)), axis=0
+                    )[:sw]
+                else:
+                    hu = jnp.dot(
+                        onehot, hx, preferred_element_type=jnp.float32
+                    )
+                num = jnp.zeros((window, hd), jnp.float32)
+                denx = jnp.zeros((window, hd), jnp.float32)
+                for k in range(slots):
+                    sl = slice(offs[k], offs[k] + caps[k])
+                    rsl = slice(0, caps[k])
+                    h_u = hu[sl, :hd]
+                    s2 = hu[sl, hd : hd + nh]
+                    raw = s_src[rsl] + s2
+                    if variant == "noexp":
+                        score = raw * valid[sl]
+                    else:
+                        score = (
+                            jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+                            * valid[sl]
+                        )
+                    if variant == "noexpand":
+                        scorex = jnp.broadcast_to(
+                            score[:, :1], (caps[k], hd)
+                        )
+                    else:
+                        scorex = jnp.dot(
+                            score, expand,
+                            preferred_element_type=jnp.float32,
+                        )
+                    if caps[k] < window:
+                        tail = ((0, window - caps[k]), (0, 0))
+                        num += jnp.pad(scorex * h_u, tail)
+                        denx += jnp.pad(scorex, tail)
+                    else:
+                        num += scorex * h_u
+                        denx += scorex
+                if variant == "nodivide":
+                    msg = num
+                else:
+                    msg = num / jnp.where(denx == 0, 1.0, denx)
+                if variant != "nocast":
+                    msg = msg.astype(cdt).astype(jnp.float32)
+                if l != num_layers - 1:
+                    feat = msg + skip
+                    if variant != "noelu":
+                        feat = jnp.where(feat <= 0, jnp.exp(feat) - 1, feat)
+                    feat = feat.astype(cdt)
+                    if variant == "noglue":
+                        hx = jnp.concatenate(
+                            [feat, jnp.zeros((window, pay - hd), cdt)], 1
+                        )
+                        skip = feat.astype(jnp.float32)
+                    else:
+                        g = jnp.dot(
+                            feat,
+                            glue_ref[l * hd : (l + 1) * hd, :],
+                            preferred_element_type=jnp.float32,
+                        )
+                        hx = g[:, :pay].astype(cdt)
+                        skip = g[:, pay : pay + hd]
+                        s_src = (
+                            g[:, pay + hd :].astype(cdt).astype(jnp.float32)
+                        )
+                else:
+                    if variant == "nopool":
+                        out_ref[:] = (msg + skip)[:gmax, :t_out]
+                    else:
+                        out_ref[:] = _pool_epilogue(
+                            msg + skip, x_ref, pay + hd + nh, predw_ref,
+                            window, gmax,
+                        )
+
+        return pl.pallas_call(
+            kernel,
+            grid=(num_windows,),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+            in_specs=[
+                pl.BlockSpec((sw, 1), lambda w: (w, 0)),
+                pl.BlockSpec((window, xw), lambda w: (w, 0)),
+                pl.BlockSpec(glue_w.shape, lambda w: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (num_windows * gmax, t_out), jnp.float32
+            ),
+            interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+        )(pstack[:, None], xcat, glue_w, pred_hd)
+
+    return model
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=100)
@@ -337,15 +487,30 @@ def main() -> None:
 
     rows = [("noop", timed(noop_fn))]
     for v in args.variants.split(","):
-        fn = prod.get(v) or (
-            lambda _v: (
-                lambda **a: _variant_model(_v, *geom)(
-                    a["slot_stack"], a["h0"], a["prev0"], a["s0"],
-                    a["skip_w"], a["proj_w"], a["a_next"], a["pool_gl"],
-                    a["pred_hd"],
+        if v == "v3" or v.startswith("v3:"):
+            # Round-3 production-structure replica: `v3` = drift anchor
+            # (must ≈ slots), `v3:<stage>` = knockout of the CURRENT
+            # kernel (nogather/noexpand/noexp/nodivide/nocast/noelu/
+            # noglue/nopool).
+            stage = v.split(":", 1)[1] if ":" in v else "full"
+            fn = (
+                lambda _s: lambda **a: _variant_model_v3(
+                    _s, *geom, pcaps
+                )(
+                    a["slot_pstack"], a["h0"], a["skip0"], a["s0"],
+                    a["glue_w"], a["pool_gl"], a["pred_hd"],
                 )
-            )
-        )(v)
+            )(stage)
+        else:
+            fn = prod.get(v) or (
+                lambda _v: (
+                    lambda **a: _variant_model(_v, *geom)(
+                        a["slot_stack"], a["h0"], a["prev0"], a["s0"],
+                        a["skip_w"], a["proj_w"], a["a_next"], a["pool_gl"],
+                        a["pred_hd"],
+                    )
+                )
+            )(v)
         rows.append((v, timed(fn)))
 
     noop = rows[0][1]
