@@ -112,15 +112,13 @@ def main() -> None:
         # block — its VN star pushed k to 2; at W512/B2048 local is 2.2×
         # faster). PNA uses the dest-major slot layout.
         layout = args.layout or "local"
-        from flowgnn_tpu.models.base import (
-            ELL_GEOMETRY_DEFAULTS, choose_window,
-        )
+        from flowgnn_tpu.models.base import choose_geometry
 
-        gw, gb = ELL_GEOMETRY_DEFAULTS.get(name, (None, None))
-        ell_w = args.ell_window or choose_window(
-            name, max(g.num_nodes for g in graphs), gw or 512
+        auto_w, auto_b = choose_geometry(
+            name, max(g.num_nodes for g in graphs)
         )
-        ell_b = args.ell_block or gb or 1536
+        ell_w = args.ell_window or auto_w
+        ell_b = args.ell_block or auto_b
         # Auto edge capacity (see core/graphs.auto_edge_capacity: a fixed
         # too-small cap silently halves bucket occupancy).
         from flowgnn_tpu.core.graphs import auto_edge_capacity

@@ -76,11 +76,9 @@ def run_case(
         "blocked": True,
         "local": "local_slots" if name in ("pna", "gat", "dgn") else "local_ell",
     }[layout]
-    from .models.base import ELL_GEOMETRY_DEFAULTS, choose_window
+    from .models.base import choose_geometry
 
-    ell_w, ell_b = ELL_GEOMETRY_DEFAULTS.get(name, (None, None))
-    ell_w, ell_b = ell_w or 512, ell_b or 1536
-    ell_w = choose_window(name, max(g.num_nodes for g in graphs), ell_w)
+    ell_w, ell_b = choose_geometry(name, max(g.num_nodes for g in graphs))
     from .core.graphs import auto_edge_capacity
 
     buckets = list(

@@ -42,6 +42,7 @@ class Graph:
     edge_index: np.ndarray  # [num_edges, 2] int32 (u, v) = (source, dest)
     edge_attr: Optional[np.ndarray] = None  # [num_edges, 3] int32 bond features
     node_eigen: Optional[np.ndarray] = None  # [num_nodes, 4] float32 (DGN)
+    node_vn: Optional[np.ndarray] = None  # [num_nodes] bool — analytic-VN marker
 
     @property
     def num_nodes(self) -> int:
@@ -94,6 +95,35 @@ def add_virtual_node(g: Graph) -> Graph:
     return Graph(node_feat, edge_index, edge_attr, g.node_eigen)
 
 
+def add_virtual_node_analytic(g: Graph) -> Graph:
+    """GIN-VN augmentation, star edges kept ALGEBRAIC instead of material.
+
+    Same math as ``add_virtual_node`` (GIN-VN/src/host_load.cc:129-153) — the
+    virtual node participates in the node MLP and the mean pool exactly like
+    a real node — but the 2N zero-attr star edges are NOT appended. Because
+    every star edge carries the same constant edge embedding e0 (bond attr
+    (0,0,0)), the star's messages factor into two per-graph dense ops:
+
+      m[vn]      = Σ_{real v} relu(h_v + e0)   (a per-graph pooled sum)
+      m[real v] += relu(h_vn + e0)             (a per-graph broadcast)
+
+    which the TPU path computes with the in-kernel pool one-hot (megakernel)
+    or a segment-sum (fallbacks) instead of scattering 2N edges — the VN hub
+    is the one in-degree that grows with graph size (it alone forced the
+    hep10k spill path). The appended node is flagged in ``node_vn`` and the
+    flag rides the packed batch; models/gin.py dispatches on it.
+    """
+    n = g.num_nodes
+    node_feat = np.concatenate(
+        [g.node_feat, np.zeros((1, g.node_feat.shape[1]), dtype=g.node_feat.dtype)]
+    )
+    vn = np.zeros(n + 1, dtype=bool)
+    vn[n] = True
+    old_vn = g.node_vn if g.node_vn is not None else np.zeros(n, bool)
+    vn[:n] = old_vn
+    return Graph(node_feat, g.edge_index, g.edge_attr, g.node_eigen, vn)
+
+
 def add_self_loops(g: Graph) -> Graph:
     """Prepend one self edge per node (GAT seeds each node's in-list with it).
 
@@ -111,7 +141,7 @@ def add_self_loops(g: Graph) -> Graph:
                 g.edge_attr,
             ]
         )
-    return Graph(g.node_feat, edge_index, edge_attr, g.node_eigen)
+    return Graph(g.node_feat, edge_index, edge_attr, g.node_eigen, g.node_vn)
 
 
 def laplacian_eigenvectors(g: Graph, k: int = 4) -> Graph:
@@ -135,7 +165,7 @@ def laplacian_eigenvectors(g: Graph, k: int = 4) -> Graph:
     _, vecs = np.linalg.eigh(lap)
     eig = np.zeros((n, k), dtype=np.float32)
     eig[:, : min(k, n)] = vecs[:, : min(k, n)]
-    return Graph(g.node_feat, g.edge_index, g.edge_attr, eig)
+    return Graph(g.node_feat, g.edge_index, g.edge_attr, eig, g.node_vn)
 
 
 # ---------------------------------------------------------------------------
@@ -162,6 +192,7 @@ class PackedGraphs:
     n_node: np.ndarray  # [G+1]   int32 per-graph node counts (pad graph last)
     n_edge: np.ndarray  # [G+1]   int32
     node_eigen: Optional[np.ndarray] = None  # [N+1, 4] float32
+    node_vn: Optional[np.ndarray] = None  # [N+1] bool — analytic virtual nodes
 
     @property
     def node_capacity(self) -> int:
@@ -206,6 +237,8 @@ def pack_graphs(
     n_node = np.zeros(graph_capacity + 1, np.int32)
     n_edge = np.zeros(graph_capacity + 1, np.int32)
     node_eigen = np.zeros((node_capacity + 1, 4), np.float32) if with_eigen else None
+    with_vn = any(g.node_vn is not None for g in graphs)
+    node_vn = np.zeros(node_capacity + 1, bool) if with_vn else None
 
     node_off = 0
     edge_off = 0
@@ -213,6 +246,8 @@ def pack_graphs(
         n, e = g.num_nodes, g.num_edges
         node_feat[node_off : node_off + n] = g.node_feat
         node_graph[node_off : node_off + n] = i
+        if with_vn and g.node_vn is not None:
+            node_vn[node_off : node_off + n] = g.node_vn
         senders[edge_off : edge_off + e] = g.edge_index[:, 0] + node_off
         receivers[edge_off : edge_off + e] = g.edge_index[:, 1] + node_off
         if g.edge_attr is not None:
@@ -232,7 +267,8 @@ def pack_graphs(
     n_node[graph_capacity] = node_capacity + 1 - node_off
     n_edge[graph_capacity] = edge_capacity - edge_off
     return PackedGraphs(
-        node_feat, node_graph, senders, receivers, edge_attr, n_node, n_edge, node_eigen
+        node_feat, node_graph, senders, receivers, edge_attr, n_node, n_edge,
+        node_eigen, node_vn,
     )
 
 
@@ -289,6 +325,8 @@ def pack_graphs_aligned(
     n_node = np.zeros(graph_capacity + 1, np.int32)
     n_edge = np.zeros(graph_capacity + 1, np.int32)
     node_eigen = np.zeros((node_capacity + 1, 4), np.float32) if with_eigen else None
+    with_vn = any(g.node_vn is not None for g in graphs)
+    node_vn = np.zeros(node_capacity + 1, bool) if with_vn else None
 
     edge_off = 0
     used = 0
@@ -296,6 +334,8 @@ def pack_graphs_aligned(
         n, e = g.num_nodes, g.num_edges
         node_feat[node_off : node_off + n] = g.node_feat
         node_graph[node_off : node_off + n] = i
+        if with_vn and g.node_vn is not None:
+            node_vn[node_off : node_off + n] = g.node_vn
         senders[edge_off : edge_off + e] = g.edge_index[:, 0] + node_off
         receivers[edge_off : edge_off + e] = g.edge_index[:, 1] + node_off
         if g.edge_attr is not None:
@@ -313,7 +353,8 @@ def pack_graphs_aligned(
     n_node[graph_capacity] = node_capacity + 1 - int(n_node[:graph_capacity].sum())
     n_edge[graph_capacity] = edge_capacity - edge_off
     return PackedGraphs(
-        node_feat, node_graph, senders, receivers, edge_attr, n_node, n_edge, node_eigen
+        node_feat, node_graph, senders, receivers, edge_attr, n_node, n_edge,
+        node_eigen, node_vn,
     )
 
 

@@ -42,7 +42,9 @@ PALLAS_ELL_BLOCK = 1536
 # FLOPs (∝ window) until per-step grid overhead takes over.
 ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
     "gin": (384, 896),  # W384 sweep: 1.75 vs 1.90 @ (256,640) / 1.81 @ (512,1280)
-    "gin-vn": (256, 1152),  # megakernel sweep: 1.64 vs 1.70 @ (384,1664), 1.83 @ (512,2048)
+    # Analytic VN: the star edges left the stream, so gin-vn's density is
+    # GIN's (the old (256,1152) optimum was tuned for the VN-star stream).
+    "gin-vn": (384, 896),
     "gcn": (384, 896),  # W384 sweep: 1.75 vs 1.96 @ (256,640)
     "gat": (256, 1024),
     "dgn": (256, 1024),
@@ -62,13 +64,31 @@ def choose_window(model: str, max_graph_nodes: int, default_w: int) -> int:
     size that holds it (≤512) so nothing spills and the whole-model
     megakernel stays engaged. Measured on hep10k (≤400-node graphs):
     GAT 7.63→5.50, DGN 5.11→3.82 µs/graph at W512 vs spill-path W256 —
-    while the ELL models (GIN 4.06 vs 5.41) prefer their default window
-    plus the spill tail, so they are left alone."""
-    if model in ("gat", "dgn", "pna") and max_graph_nodes > default_w:
+    while plain GIN/GCN (GIN 4.06 vs 5.41) prefer their default window
+    plus the spill tail, so they are left alone. GIN-VN bumps too: its
+    analytic-VN spill fallback pays L segment pools per pass (hep10k
+    7.21 at W384+spill vs 4.34 at W512 megakernel)."""
+    if model in ("gat", "dgn", "pna", "gin-vn") and max_graph_nodes > default_w:
         for w in (256, 384, 512):
             if w >= default_w and w >= max_graph_nodes:
                 return w
     return default_w
+
+
+def choose_geometry(model: str, max_graph_nodes: int) -> tuple[int, int]:
+    """(window, block) for a stream: the tuned per-model default, with the
+    window bumped by ``choose_window`` for the models that prefer keeping
+    the megakernel engaged over spilling — and the ELL lane capacity
+    (block) scaled with the window so one block still holds a whole
+    window's edges (k=1; a static k=2 grid would double every step)."""
+    gw, gb = ELL_GEOMETRY_DEFAULTS.get(
+        model, (PALLAS_ELL_WINDOW, PALLAS_ELL_BLOCK)
+    )
+    w = choose_window(model, max_graph_nodes, gw)
+    b = gb
+    if w != gw:
+        b = -(-(gb * w) // (gw * 128)) * 128
+    return w, b
 
 
 def ell_wps(model: str) -> int:
@@ -390,6 +410,11 @@ def as_batch(
     }
     if packed.node_eigen is not None:
         batch["node_eigen"] = packed.node_eigen
+    if packed.node_vn is not None:
+        # Analytic virtual nodes (core.graphs.add_virtual_node_analytic):
+        # the flag rides the batch so models/gin.py can compute the VN
+        # star's messages as per-graph pool + broadcast instead of edges.
+        batch["vn_mask"] = packed.node_vn
     if blocked == "local_slots":
         from ..core.blocking import build_local_slots
 
@@ -418,6 +443,10 @@ def as_batch(
         if packed.node_eigen is not None:
             batch["node_eigen"] = _pad_rows(
                 packed.node_eigen, nw_rows
+            )[node_perm][:n]
+        if packed.node_vn is not None:
+            batch["vn_mask"] = _pad_rows(
+                packed.node_vn, nw_rows
             )[node_perm][:n]
         senders = inv[senders].astype(np.int32)
         receivers = inv[receivers].astype(np.int32)

@@ -7,7 +7,15 @@ MLP dim→2·dim→dim, ReLU between and after except the last layer
 readout mean-pool → linear (GIN/src/finalize.cc:27-33).
 
 GIN-VN is the same program over virtual-node-augmented graphs
-(core.graphs.add_virtual_node ≙ GIN-VN/src/host_load.cc:129-153).
+(core.graphs.add_virtual_node ≙ GIN-VN/src/host_load.cc:129-153). The
+production transform is the ANALYTIC variant (add_virtual_node_analytic):
+the VN star's 2N zero-attr edges all share one constant edge embedding e0,
+so its messages factor into a per-graph pool (m[vn] = Σ_real relu(h_v+e0))
+plus a per-graph broadcast (m[real v] += relu(h_vn+e0)) — computed with the
+in-kernel pool one-hot (megakernel) or a segment pool (fallbacks,
+``_vn_message``) instead of materialized edges. Same math, but the VN hub
+in-degree (the one edge load that grows with graph size — it alone forced
+the hep10k spill path) disappears from the edge stream.
 
 The FPGA drops ε (never bound to the kernel — GIN/src/host.cc:185-200), so
 ``fpga_eps=True`` (default) zeroes it for device parity; ``False`` restores
@@ -33,6 +41,36 @@ from .base import (
 )
 
 
+def _vn_message(
+    h, table_l, batch: dict, prec: Precision, edge_axis: str | None = None
+) -> jnp.ndarray:
+    """Analytic VN star messages, XLA fallback form (spill buckets, halo
+    shards, plain/fixed paths): one segment pool over graph ids + one row
+    broadcast back — e0 is the (0,0,0)-attr bond embedding every star edge
+    shares (GIN-VN/src/host_load.cc:137-153). Pad/gap rows belong to the
+    pad graph, so their contributions land in (and return from) a row
+    nothing reads — same invariant as every other per-node op.
+
+    Under halo sharding a graph may straddle chip shards (unaligned
+    packing), so the per-graph partials are completed with one [G+1, 2D]
+    psum over the edge axis — O(G·D) bytes, like the readout psum, NOT the
+    O(N·D) the halo layout exists to avoid. (The replicated edge-sharded
+    legacy path holds full node arrays per chip; no collective there.)"""
+    ee0 = bond_embed(table_l, jnp.zeros((1, 3), jnp.int32), prec)  # [1, D]
+    vn = jnp.asarray(batch["vn_mask"]).astype(h.dtype)[:, None]
+    r = prec.q(relu(h + ee0)).astype(h.dtype)
+    g = _base.num_graphs_static(batch)
+    rcat = jnp.concatenate([r * (1 - vn), r * vn], axis=1)
+    sums = segment_sum(rcat, batch["node_graph"], g)
+    if halo_mode(batch, edge_axis):
+        import jax
+
+        sums = jax.lax.psum(sums, edge_axis)
+    back = jnp.take(sums, batch["node_graph"], axis=0)
+    d = h.shape[1]
+    return (back[:, d:] * (1 - vn) + back[:, :d] * vn).astype(h.dtype)
+
+
 def forward(
     params: dict,
     batch: dict,
@@ -54,7 +92,10 @@ def forward(
     # The fused kernel (scatter + MLP epilogue in one VMEM pass) is opt-in:
     # measured on v5e it matches the split path (grid overhead dominates at
     # these dims) while compiling ~9x slower — see BENCH.md.
-    fused = fused and "blk_vlocal" in batch and edge_axis is None and prec.fixed is None
+    fused = (
+        fused and "blk_vlocal" in batch and edge_axis is None
+        and prec.fixed is None and "vn_mask" not in batch
+    )
     # The graph-local fully fused path (gather+message+scatter+MLP in VMEM)
     # engages automatically when the batch carries the local layout —
     # including inside a halo-sharded shard_map, where each chip's node
@@ -68,6 +109,7 @@ def forward(
 
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     inter = [h]
+    vn = "vn_mask" in batch  # analytic virtual nodes (GIN-VN)
     ell = local and "loc_ell" in batch
     if ell:
         # In-kernel edge embedding: pre-offset the bond features once
@@ -107,6 +149,9 @@ def forward(
                 (1.0 + eps).astype(jnp.float32).reshape(L, 1),
                 params["pred_w"].T.astype(dt),
                 window, L, _base.POOL_GMAX,
+                vn_col=(
+                    jnp.asarray(batch["vn_mask"]).astype(dt) if vn else None
+                ),
             )
             pool = _base.pool_gather(pool, edge_axis if halo else None)
             return _base.pool_finish(pool, batch, params["pred_b"], prec)
@@ -138,9 +183,13 @@ def forward(
                     params["edge_embedding"][l], batch["edge_attr"][P:], prec
                 )
                 spill_msg = relu(jnp.take(hsrc, u[P:], axis=0) + ee_spill)
-                m = prec.q(
-                    m_loc + segment_sum(spill_msg, v[P:], n + 1)[:n]
-                )
+                agg = m_loc + segment_sum(spill_msg, v[P:], n + 1)[:n]
+                if vn:
+                    agg = agg + _vn_message(
+                        h, params["edge_embedding"][l], batch, prec,
+                        edge_axis,
+                    )
+                m = prec.q(agg)
                 act = prec.q(m + (1 + eps[l]) * h)
                 z = relu(
                     linear(act, params["mlp1_w"][l], params["mlp1_b"][l], prec)
@@ -159,6 +208,11 @@ def forward(
                 m_spill = _base.spill_segment_sum(spill_msg, v[P:], batch, n)
             else:
                 m_spill = jnp.zeros_like(h)
+            if vn:
+                m_spill = (
+                    m_spill
+                    + _vn_message(h, params["edge_embedding"][l], batch, prec)
+                ).astype(h.dtype)
             h = gin_local_layer_ell(
                 None, batch["loc_ulocal"], batch["loc_vlocal"], h, m_spill,
                 params["mlp1_w"][l], params["mlp1_b"][l],
@@ -179,6 +233,11 @@ def forward(
             P = batch["loc_ulocal"].shape[0]
             spill_msg = relu(jnp.take(h, u[P:], axis=0) + ee[P:])
             m_spill = segment_sum(spill_msg, v[P:], n)
+            if vn:
+                m_spill = (
+                    m_spill
+                    + _vn_message(h, params["edge_embedding"][l], batch, prec)
+                ).astype(h.dtype)
             eps1 = (1.0 + eps[l]).astype(jnp.float32).reshape(1, 1)
             h = gin_local_layer(
                 ee[:P], batch["loc_ulocal"], batch["loc_vlocal"],
@@ -201,7 +260,12 @@ def forward(
                 _base.PALLAS_WINDOW, final_relu=l != L - 1,
             )
         else:
-            m = prec.q(edge_segment_sum(msg, batch, edge_axis))
+            agg = edge_segment_sum(msg, batch, edge_axis)
+            if vn:
+                agg = agg + _vn_message(
+                    h, params["edge_embedding"][l], batch, prec, edge_axis
+                )
+            m = prec.q(agg)
             act = prec.q(m + (1 + eps[l]) * h)
             z = relu(linear(act, params["mlp1_w"][l], params["mlp1_b"][l], prec))
             z = linear(z, params["mlp2_w"][l], params["mlp2_b"][l], prec)

@@ -39,9 +39,13 @@ MODELS: dict[str, ModelSpec] = {
     "gin-vn": ModelSpec(
         # wps_key so a per-model ELL_WPS_DEFAULTS["gin-vn"] entry resolves
         # to gin-vn, not to plain gin.
+        # Production transform = the ANALYTIC virtual node (star messages
+        # as per-graph pool + broadcast; see models/gin.py). Reference-
+        # ordered semantics (oracles, golden, fixed-exact replays) use
+        # G.add_virtual_node — the materialized star — directly.
         "gin-vn", functools.partial(gin.forward, wps_key="gin-vn"),
         loaders.load_gin, dim=100, num_layers=5,
-        transforms=(G.add_virtual_node,), reference_dir="GIN-VN",
+        transforms=(G.add_virtual_node_analytic,), reference_dir="GIN-VN",
     ),
     "gcn": ModelSpec(
         "gcn", gcn.forward, loaders.load_gcn, dim=100, num_layers=5,

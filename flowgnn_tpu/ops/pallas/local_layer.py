@@ -589,6 +589,7 @@ def gin_local_model(
     window: int,
     num_layers: int,
     gmax: int,
+    vn_col: jnp.ndarray | None = None,  # [n] analytic-VN flag (GIN-VN)
 ) -> jnp.ndarray:
     """The ENTIRE GIN model (all L conv layers + finalize) in ONE pallas
     call.
@@ -608,12 +609,28 @@ def gin_local_model(
     model. Returns per-(window, graph-slot) prediction SUMS
     [NW·GMAX, T] (f32) for base.pool_finish to divide + bias. No-spill
     k=1 only (caller falls back per layer otherwise).
+
+    ``vn_col`` (GIN-VN, core.graphs.add_virtual_node_analytic): the VN
+    star's 2N edges are computed algebraically per layer — every star
+    edge shares the constant edge embedding e0 (bond attr (0,0,0)), so
+    m[vn] = Σ_real relu(h_v+e0) is a per-graph pool and m[real v] +=
+    relu(h_vn+e0) a per-graph broadcast, both via the SAME [W, GMAX]
+    pool one-hot the finalize uses (GIN-VN/src/host_load.cc:137-153 ≙
+    two [W, GMAX] matmuls per layer instead of 2N scatter lanes — the VN
+    hub in-degree was the one edge load that grew with graph size).
     """
     n, d = h0.shape
     num_windows = -(-n // window)
     pad = num_windows * window - n
     hp = jnp.pad(h0, ((0, pad), (0, 0))) if pad else h0
-    hcat = jnp.concatenate([hp, pool_gl[:, None].astype(hp.dtype)], axis=1)
+    cols = [hp, pool_gl[:, None].astype(hp.dtype)]
+    has_vn = vn_col is not None
+    if has_vn:
+        vnp = vn_col.astype(hp.dtype)[:, None]
+        if pad:
+            vnp = jnp.pad(vnp, ((0, pad), (0, 0)))
+        cols.append(vnp)
+    hcat = jnp.concatenate(cols, axis=1)
     p = edge_attr.shape[0]
     block = p // num_windows
     vocab = ee_tables.shape[0] // num_layers
@@ -639,6 +656,16 @@ def gin_local_model(
         onehot_u = (mf[:, 0:1] == lanes).astype(cdt)
         onehot_v = (mf[:, 1:2] == lanes).astype(cdt)
         h = h_ref[:, :d]
+        if has_vn:
+            # Pool one-hot shared by all layers' VN stages (pad/gap rows
+            # carry the GMAX sentinel → all-zero rows: they neither
+            # contribute to nor receive VN messages).
+            gl = h_ref[:, d : d + 1].astype(jnp.float32)
+            vnc = h_ref[:, d + 1 : d + 2].astype(jnp.float32)
+            giota = jax.lax.broadcasted_iota(
+                jnp.int32, (window, gmax), 1
+            ).astype(jnp.float32)
+            ohg = (gl == giota).astype(cdt)
         for l in range(num_layers):
             ee = jnp.dot(
                 multihot,
@@ -652,6 +679,38 @@ def gin_local_model(
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if has_vn:
+                # Analytic VN star (see docstring): r = relu(h + e0) with
+                # e0 the (0,0,0)-attr bond embedding ({0,5,11} rows);
+                # pool Σ_real r per graph and the graph's r[vn], broadcast
+                # back crosswise. Quantized like the edge messages (cdt).
+                e0 = (
+                    tab_ref[l * vocab : l * vocab + 1, :].astype(jnp.float32)
+                    + tab_ref[l * vocab + 5 : l * vocab + 6, :].astype(
+                        jnp.float32
+                    )
+                    + tab_ref[l * vocab + 11 : l * vocab + 12, :].astype(
+                        jnp.float32
+                    )
+                )
+                r = jnp.maximum(h.astype(jnp.float32) + e0, 0).astype(cdt)
+                rcat = jnp.concatenate(
+                    [
+                        (r.astype(jnp.float32) * (1.0 - vnc)).astype(cdt),
+                        (r.astype(jnp.float32) * vnc).astype(cdt),
+                    ],
+                    axis=1,
+                )
+                pooled = jax.lax.dot_general(
+                    ohg, rcat,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [GMAX, 2D]: [Σ_real r ‖ r[vn]] per graph
+                back = jnp.dot(
+                    ohg, pooled.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + back[:, d:] * (1.0 - vnc) + back[:, :d] * vnc
             act = (acc + eps_ref[l, 0] * h.astype(jnp.float32)).astype(cdt)
             z = jax.lax.dot_general(
                 act, w1_ref[l * hid : (l + 1) * hid, :],
@@ -677,7 +736,7 @@ def gin_local_model(
         ),
         in_specs=[
             pl.BlockSpec((block, 5), lambda w: (w, 0)),
-            pl.BlockSpec((window, d + 1), lambda w: (w, 0)),
+            pl.BlockSpec((window, d + 1 + int(has_vn)), lambda w: (w, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -690,7 +749,8 @@ def gin_local_model(
         out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=num_layers
-            * (6 * p * window * d + 4 * num_windows * window * hid * d),
+            * (6 * p * window * d + 4 * num_windows * window * hid * d
+               + (8 * num_windows * window * gmax * d if has_vn else 0)),
             bytes_accessed=(p * 5 + 2 * num_windows * window * d) * 4,
             transcendentals=0,
         ),

@@ -312,6 +312,12 @@ def build_halo_batch(
     batch.update(extras)
     if node_eigen is not None:
         batch["node_eigen"] = node_eigen
+    if packed.node_vn is not None:
+        # Analytic-VN flag shards with the node rows; window alignment keeps
+        # each graph (hence its virtual node AND all its real nodes) on one
+        # chip, so the per-shard VN pool/broadcast in models/gin.py is
+        # complete without any collective.
+        batch["vn_mask"] = pad_nodes(packed.node_vn, False).reshape(k, s_rows)
     if blocked in ("local_ell", "local_slots"):
         # In-kernel finalize layout PER SHARD: window-aligned packing keeps
         # each graph in one window (hence one chip), so the global pool

@@ -24,7 +24,7 @@ from ..core.graphs import Graph, pack_graphs_aligned
 from ..core.numerics import FLOAT32, Precision
 from ..models import registry
 from ..models.base import (
-    ELL_GEOMETRY_DEFAULTS, as_batch, choose_window, prepare_params,
+    as_batch, choose_geometry, prepare_params,
 )
 
 
@@ -53,8 +53,6 @@ class InferenceStream:
         self.prec = prec
         self.caps = (node_capacity, edge_capacity, graph_capacity)
         self.params = [prepare_params(p, prec) for p in param_sets]
-        gw, gb = ELL_GEOMETRY_DEFAULTS.get(model, (None, None))
-        self._geom = (gw or 512, gb or 1536)
         self._blocked = (
             "local_slots" if model in ("pna", "gat", "dgn") else "local_ell"
         )
@@ -62,8 +60,8 @@ class InferenceStream:
 
     def _make_batch(self, bucket: list[Graph]) -> tuple[dict, int]:
         """Window-aligned pack + production kernel layout for one bucket."""
-        window = choose_window(
-            self.spec.name, max(g.num_nodes for g in bucket), self._geom[0]
+        window, block = choose_geometry(
+            self.spec.name, max(g.num_nodes for g in bucket)
         )
         packed = pack_graphs_aligned(
             bucket,
@@ -75,8 +73,7 @@ class InferenceStream:
         )
         return (
             as_batch(
-                packed, blocked=self._blocked, window=window,
-                block=self._geom[1],
+                packed, blocked=self._blocked, window=window, block=block,
             ),
             len(bucket),
         )

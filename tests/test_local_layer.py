@@ -548,3 +548,93 @@ def test_gat_dense_masked_exp_overflow_stays_finite():
     benign[30, 1] = 0.0
     cold = np.asarray(gat_local_model_dense(*args(benign)))
     np.testing.assert_allclose(hot, cold, rtol=1e-6, atol=1e-6)
+
+
+def test_gin_vn_analytic_megakernel_equals_star(graphs16, reference_root):
+    """Analytic-VN production path == the materialized-star path.
+
+    The production gin-vn transform (core.graphs.add_virtual_node_analytic)
+    keeps the VN star algebraic: the megakernel computes the star's
+    messages with its in-kernel pool one-hot (two [W, GMAX] matmuls per
+    layer) instead of 2N scatter lanes. This crosses the two formulations:
+    star edges through the plain XLA path vs analytic VN through the
+    megakernel — and pins that the megakernel actually engaged (one
+    pallas_call; the VN hub can no longer force lanes/spill)."""
+    import jax
+
+    spec = registry.get("gin-vn")
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jp = prepare_params(params, FLOAT32)
+    small = dict(node_capacity=512, edge_capacity=4096, graph_capacity=8)
+
+    from flowgnn_tpu.core.graphs import add_virtual_node
+
+    star = [add_virtual_node(g) for g in graphs16[:4]]
+    plain = registry.get("gin").forward(
+        jp, as_batch(pack_graphs(star, **small)), FLOAT32
+    )
+
+    tg = registry.apply_transforms(spec, graphs16[:4])
+    assert all(g.node_vn is not None for g in tg)
+    ebatch = as_batch(
+        pack_graphs_aligned(tg, window=128, **small),
+        blocked="local_ell", window=128,
+    )
+    assert "vn_mask" in ebatch and "pool_gl" in ebatch
+    # No spill (the VN star left the edge stream) => megakernel engages.
+    assert ebatch["senders"].shape[0] == ebatch["loc_ulocal"].shape[0]
+    jaxpr = str(jax.make_jaxpr(
+        lambda p, b: spec.forward(p, b, FLOAT32)
+    )(jp, ebatch))
+    assert jaxpr.count("pallas_call") == 1, "megakernel did not engage"
+    out = spec.forward(jp, ebatch, FLOAT32)
+    assert_allclose(
+        np.asarray(out)[:4], np.asarray(plain)[:4], rtol=1e-5, atol=1e-5,
+        msg="gin-vn analytic megakernel vs star",
+    )
+    # Per-layer fallback (return_intermediates) uses the segment-pool form
+    # of the same VN math (models/gin.py:_vn_message) — also equivalent.
+    per_layer, _ = spec.forward(
+        jp, ebatch, FLOAT32, return_intermediates=True
+    )
+    assert_allclose(
+        np.asarray(per_layer)[:4], np.asarray(plain)[:4],
+        rtol=1e-5, atol=1e-5, msg="gin-vn analytic per-layer vs star",
+    )
+
+
+def test_gin_vn_analytic_spill_path_equals_star(reference_root):
+    """Graphs larger than the window: real edges spill (per-layer kernels)
+    while the VN term runs the segment-pool fallback — still equals the
+    star-edge path. This is the hep10k shape that used to route the VN
+    hub's N-degree through the spill scatter."""
+    from flowgnn_tpu.core.graphs import add_virtual_node
+    from flowgnn_tpu.core.synthetic import random_molecule_graph, synthetic_molhiv
+
+    rng_graphs = synthetic_molhiv(4, seed=123)
+    big = [
+        random_molecule_graph(np.random.default_rng(5), num_nodes=170),
+        random_molecule_graph(np.random.default_rng(6), num_nodes=200),
+    ]
+    graphs = rng_graphs + big
+    spec = registry.get("gin-vn")
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jp = prepare_params(params, FLOAT32)
+    small = dict(node_capacity=1024, edge_capacity=8192, graph_capacity=8)
+    star = [add_virtual_node(g) for g in graphs]
+    plain = registry.get("gin").forward(
+        jp, as_batch(pack_graphs(star, **small)), FLOAT32
+    )
+    tg = registry.apply_transforms(spec, graphs)
+    ebatch = as_batch(
+        pack_graphs_aligned(tg, window=128, **small),
+        blocked="local_ell", window=128,
+    )
+    assert ebatch["senders"].shape[0] > ebatch["loc_ulocal"].shape[0], (
+        "expected a spill tail (only real window-crossing edges remain)"
+    )
+    out = spec.forward(jp, ebatch, FLOAT32)
+    assert_allclose(
+        np.asarray(out)[:6], np.asarray(plain)[:6], rtol=1e-5, atol=1e-5,
+        msg="gin-vn analytic spill path vs star",
+    )

@@ -39,9 +39,16 @@ def run_oracle(name, graphs, params):
     spec = registry.get(name)
     oracle = oracles.ORACLES["gin" if name == "gin-vn" else name]
     # The oracle consumes transformed graphs, except GAT whose oracle adds
-    # self loops internally (it gets the raw graphs).
+    # self loops internally (it gets the raw graphs) and GIN-VN whose
+    # production transform is the ANALYTIC virtual node — the oracle gets
+    # the materialized star (core.graphs.add_virtual_node) instead, so the
+    # two-way validation crosses the analytic/edge-based formulations.
     if name == "gat":
         og = graphs
+    elif name == "gin-vn":
+        from flowgnn_tpu.core.graphs import add_virtual_node
+
+        og = [add_virtual_node(g) for g in graphs]
     else:
         og = registry.apply_transforms(spec, graphs)
     return np.array([oracle(params, g)["out"].ravel()[0] for g in og])
