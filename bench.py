@@ -26,7 +26,10 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="gin", help="gin|gin-vn|gcn|gat|pna|dgn|all")
+    # Default "all": the no-arg driver run records the WHOLE headline table
+    # (one JSON line per model + an aggregate line), matching the
+    # reference's all-models discipline (run_experiments.sh:52-60).
+    ap.add_argument("--model", default="all", help="gin|gin-vn|gcn|gat|pna|dgn|all")
     ap.add_argument("--dataset", default="molhiv", help="molhiv|molpcba|hep10k (synthetic profile)")
     ap.add_argument("--graphs", type=int, default=None, help="override graph count")
     ap.add_argument("--trials", type=int, default=5)  # relay-variance guard: report best-of
@@ -118,7 +121,19 @@ def main() -> None:
             name, max(g.num_nodes for g in graphs)
         )
         ell_w = args.ell_window or auto_w
-        ell_b = args.ell_block or auto_b
+        if args.ell_window and not args.ell_block:
+            # Re-derive the block from the USER's window (choose_geometry's
+            # ceil(gb·w/gw) scaling) — pairing an overridden window with
+            # auto_b (scaled for auto_w) can silently push the ELL grid to
+            # k=2 and double every step.
+            from flowgnn_tpu.models.base import ELL_GEOMETRY_DEFAULTS
+
+            gw, gb = ELL_GEOMETRY_DEFAULTS.get(name, (512, 1536))
+            ell_b = auto_b if ell_w == auto_w else -(
+                -(gb * ell_w) // (gw * 128)
+            ) * 128
+        else:
+            ell_b = args.ell_block or auto_b
         # Auto edge capacity (see core/graphs.auto_edge_capacity: a fixed
         # too-small cap silently halves bucket occupancy).
         from flowgnn_tpu.core.graphs import auto_edge_capacity
@@ -218,17 +233,45 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    head = results[names[0]]
-    print(
-        json.dumps(
-            {
-                "metric": f"{names[0]}_{args.dataset}_synth_us_per_graph",
-                "value": round(head["us_per_graph"], 3),
-                "unit": "us/graph",
-                "vs_baseline": round(head["vs_baseline"], 3),
-            }
+    for name in names:
+        r = results[name]
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name}_{args.dataset}_synth_us_per_graph",
+                    "value": round(r["us_per_graph"], 3),
+                    "unit": "us/graph",
+                    "vs_baseline": round(r["vs_baseline"], 3),
+                }
+            )
         )
-    )
+    if len(names) > 1:
+        # Aggregate LAST line (the driver parses the final JSON line): the
+        # geometric-mean speedup over the U50 across all models, with the
+        # per-model table embedded so one captured line holds the record.
+        import math
+
+        gm = math.exp(
+            sum(math.log(results[m]["vs_baseline"]) for m in names)
+            / len(names)
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"all_{args.dataset}_synth_geomean_speedup",
+                    "value": round(gm, 3),
+                    "unit": "x_vs_u50",
+                    "vs_baseline": round(gm, 3),
+                    "models": {
+                        m: {
+                            "us_per_graph": round(results[m]["us_per_graph"], 3),
+                            "vs_baseline": round(results[m]["vs_baseline"], 3),
+                        }
+                        for m in names
+                    },
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

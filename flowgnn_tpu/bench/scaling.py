@@ -42,8 +42,16 @@ def run_scaling(
     axis: str = "data",
     strategy: str = "halo",
     blocked: str | None = None,
+    scaling: str = "strong",
 ) -> list[dict]:
-    """``blocked`` (halo strategy only): "local_ell" / "local_slots" packs
+    """``scaling`` (edge axis only): "strong" shards ONE fixed batch across
+    k chips (per-chip work shrinks with k — under-utilizes large k by
+    construction); "weak" grows the batch with k (graphs_per_device·k
+    graphs, capacities ∝ k) so every chip always holds the same shard size
+    — the sweep that separates fixed-batch under-utilization from genuine
+    halo overhead growth.
+
+    ``blocked`` (halo strategy only): "local_ell" / "local_slots" packs
     window-aligned and attaches the per-shard graph-local layouts, so the
     sharded program runs the whole-model megakernels + in-kernel finalize
     per shard (one pallas_call; pool partials complete with one
@@ -98,11 +106,13 @@ def run_scaling(
             best = _measure(fwd, (jp, stacked), trials)
             row = {"devices": k, "axis": "data"}
         elif axis == "edge":
-            # Strong scaling of one fixed batch across the edge axis.
+            # "strong": one fixed batch sharded across the edge axis;
+            # "weak": batch grows ∝ k so per-chip shard size is constant.
+            scale = k if scaling == "weak" else max(device_counts)
             pack_kw = dict(
-                node_capacity=caps[0] * max(device_counts) // 2,
-                edge_capacity=caps[1] * max(device_counts) // 2,
-                graph_capacity=caps[2] * max(device_counts),
+                node_capacity=caps[0] * scale // 2,
+                edge_capacity=caps[1] * scale // 2,
+                graph_capacity=caps[2] * scale,
                 with_eigen=spec.needs_eigen,
             )
             if blocked and strategy == "halo":
@@ -110,12 +120,12 @@ def run_scaling(
                 from ..models.base import PALLAS_ELL_WINDOW
 
                 packed = pack_graphs_aligned(
-                    graphs[: graphs_per_device * max(device_counts)],
+                    graphs[: graphs_per_device * scale],
                     window=PALLAS_ELL_WINDOW, **pack_kw,
                 )
             else:
                 packed = pack_graphs(
-                    graphs[: graphs_per_device * max(device_counts)],
+                    graphs[: graphs_per_device * scale],
                     **pack_kw,
                 )
             total_edges = int(packed.n_edge[:-1].sum())
@@ -139,6 +149,7 @@ def run_scaling(
             best = _measure(fwd, (jp, stacked), trials)
             row = {
                 "devices": k, "axis": "edge", "strategy": strategy,
+                "scaling": scaling,
                 "ici_bytes_per_layer": 0 if k == 1 else ici,
             }
         else:

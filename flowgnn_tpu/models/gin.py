@@ -209,9 +209,15 @@ def forward(
             else:
                 m_spill = jnp.zeros_like(h)
             if vn:
+                # edge_axis passes through so a halo-sharded graph whose
+                # nodes straddle chips but spills no edges still gets its
+                # per-graph VN pool psum-completed (halo_mode gates the
+                # psum, so this is a no-op off the halo path).
                 m_spill = (
                     m_spill
-                    + _vn_message(h, params["edge_embedding"][l], batch, prec)
+                    + _vn_message(
+                        h, params["edge_embedding"][l], batch, prec, edge_axis
+                    )
                 ).astype(h.dtype)
             h = gin_local_layer_ell(
                 None, batch["loc_ulocal"], batch["loc_vlocal"], h, m_spill,

@@ -706,8 +706,11 @@ def gin_local_model(
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [GMAX, 2D]: [Σ_real r ‖ r[vn]] per graph
+                # pooled stays f32 for the broadcast (ohg is 0/1 so the dot
+                # is exact) — rounding to cdt here would add one quantize
+                # step the materialized-star path does not have.
                 back = jnp.dot(
-                    ohg, pooled.astype(cdt),
+                    ohg.astype(jnp.float32), pooled,
                     preferred_element_type=jnp.float32,
                 )
                 acc = acc + back[:, d:] * (1.0 - vnc) + back[:, :d] * vnc
@@ -751,7 +754,9 @@ def gin_local_model(
             flops=num_layers
             * (6 * p * window * d + 4 * num_windows * window * hid * d
                + (8 * num_windows * window * gmax * d if has_vn else 0)),
-            bytes_accessed=(p * 5 + 2 * num_windows * window * d) * 4,
+            bytes_accessed=(
+                p * 5 + 2 * num_windows * window * (d + 1 + int(has_vn))
+            ) * 4,
             transcendentals=0,
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
