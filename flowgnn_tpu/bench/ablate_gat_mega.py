@@ -278,34 +278,64 @@ def _variant_model_v3(variant: str, window: int, slots: int, num_heads: int,
                         [hx.astype(jnp.float32)]
                         * (-(-sw // window)), axis=0
                     )[:sw]
-                else:
+                elif variant != "split":
                     hu = jnp.dot(
                         onehot, hx, preferred_element_type=jnp.float32
+                    )
+                if variant == "stackexp":
+                    # One stacked score chain for ALL slots: the per-head
+                    # raw/exp/valid runs on [Σc_k, H] with no sublane
+                    # slicing of valid, and ONE [Σc_k, H]@[H, HD] expand
+                    # matmul replaces the six per-slot ones.
+                    srcs = jnp.concatenate(
+                        [s_src[: caps[k]] for k in range(slots)], axis=0
+                    )
+                    raw_all = srcs + hu[:, hd : hd + nh]
+                    score_all = (
+                        jnp.exp(
+                            jnp.where(raw_all < 0, raw_all * 0.2, raw_all)
+                        ) * valid
+                    )
+                    scorex_all = jnp.dot(
+                        score_all, expand, preferred_element_type=jnp.float32
                     )
                 num = jnp.zeros((window, hd), jnp.float32)
                 denx = jnp.zeros((window, hd), jnp.float32)
                 for k in range(slots):
                     sl = slice(offs[k], offs[k] + caps[k])
                     rsl = slice(0, caps[k])
-                    h_u = hu[sl, :hd]
-                    s2 = hu[sl, hd : hd + nh]
-                    raw = s_src[rsl] + s2
-                    if variant == "noexp":
-                        score = raw * valid[sl]
-                    else:
-                        score = (
-                            jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
-                            * valid[sl]
-                        )
-                    if variant == "noexpand":
-                        scorex = jnp.broadcast_to(
-                            score[:, :1], (caps[k], hd)
-                        )
-                    else:
-                        scorex = jnp.dot(
-                            score, expand,
+                    if variant == "split":
+                        # Per-slot gather matmul: slot k's VPU accumulate
+                        # can interleave with slot k+1's MXU gather.
+                        hu_k = jnp.dot(
+                            onehot[sl], hx,
                             preferred_element_type=jnp.float32,
                         )
+                        h_u = hu_k[:, :hd]
+                        s2 = hu_k[:, hd : hd + nh]
+                    else:
+                        h_u = hu[sl, :hd]
+                        s2 = hu[sl, hd : hd + nh]
+                    if variant == "stackexp":
+                        scorex = scorex_all[sl]
+                    else:
+                        raw = s_src[rsl] + s2
+                        if variant == "noexp":
+                            score = raw * valid[sl]
+                        else:
+                            score = (
+                                jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+                                * valid[sl]
+                            )
+                        if variant == "noexpand":
+                            scorex = jnp.broadcast_to(
+                                score[:, :1], (caps[k], hd)
+                            )
+                        else:
+                            scorex = jnp.dot(
+                                score, expand,
+                                preferred_element_type=jnp.float32,
+                            )
                     if caps[k] < window:
                         tail = ((0, window - caps[k]), (0, 0))
                         num += jnp.pad(scorex * h_u, tail)
@@ -369,6 +399,310 @@ def _variant_model_v3(variant: str, window: int, slots: int, num_heads: int,
         )(pstack[:, None], xcat, glue_w, pred_hd)
 
     return model
+
+
+def _variant_model_v4(variant: str, window: int, slots: int, num_heads: int,
+                      num_layers: int, gmax: int, prefix_caps):
+    """Round-4 candidate: PREBUILT one-hot gather tiles.
+
+    The [Σc_k, W] slot one-hot is pure topology (layer-invariant), so
+    instead of building it in-kernel from the index column (VPU compare +
+    cast — part of the measured ~300 µs structural floor) it arrives as a
+    bf16 HBM operand built at pack time and DMA'd per grid step, where
+    Mosaic's pipeliner double-buffers it against the previous window's
+    compute. The valid mask is the one-hot's row-sum (sentinel rows are
+    all-zero), computed once per window and reused by every layer.
+    Everything else mirrors _variant_model_v3 (= the production kernel).
+    `v4:nogather` knocks out the gather matmul on top (isolates the
+    matmul from the operand DMA)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def model(onehot_tiles, h0, skip0, s0, glue_w, pool_gl, pred_hd):
+        from ..ops.pallas.local_layer import _pool_epilogue
+
+        n, hd = h0.shape
+        d = hd // num_heads
+        nh = num_heads
+        num_windows = -(-n // window)
+        pad = num_windows * window - n
+        if pad:
+            h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+            skip0 = jnp.pad(skip0, ((0, pad), (0, 0)))
+            s0 = jnp.pad(s0, ((0, pad), (0, 0)))
+        cdt = h0.dtype
+        t_out = pred_hd.shape[1]
+        pay = max(128, hd + nh)
+        xcat = jnp.concatenate(
+            [h0, s0[:, nh:].astype(cdt),
+             jnp.zeros((h0.shape[0], pay - hd - nh), cdt),
+             skip0.astype(cdt), s0[:, :nh].astype(cdt),
+             pool_gl[:, None].astype(cdt)], axis=1
+        )
+        caps = tuple(int(c) for c in prefix_caps)
+        offs = tuple(int(sum(caps[:k])) for k in range(len(caps)))
+        sw = int(sum(caps))
+        xw = pay + hd + nh + 1
+
+        def kernel(oh_ref, x_ref, glue_ref, predw_ref, out_ref):
+            cols = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 1) // d
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nh, hd), 0)
+            expand = (cols == rows).astype(jnp.float32)
+            onehot = oh_ref[:]
+            valid = jnp.sum(
+                onehot.astype(jnp.float32), axis=1, keepdims=True
+            )  # row-sum: sentinel rows are all-zero — once, reused per layer
+            hx = x_ref[:, :pay]
+            skip = x_ref[:, pay : pay + hd].astype(jnp.float32)
+            s_src = x_ref[:, pay + hd : pay + hd + nh].astype(jnp.float32)
+            for l in range(num_layers):
+                if variant == "nogather":
+                    hu = jnp.concatenate(
+                        [hx.astype(jnp.float32)]
+                        * (-(-sw // window)), axis=0
+                    )[:sw]
+                else:
+                    hu = jnp.dot(
+                        onehot, hx, preferred_element_type=jnp.float32
+                    )
+                num = jnp.zeros((window, hd), jnp.float32)
+                denx = jnp.zeros((window, hd), jnp.float32)
+                for k in range(slots):
+                    sl = slice(offs[k], offs[k] + caps[k])
+                    rsl = slice(0, caps[k])
+                    h_u = hu[sl, :hd]
+                    s2 = hu[sl, hd : hd + nh]
+                    raw = s_src[rsl] + s2
+                    score = (
+                        jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+                        * valid[sl]
+                    )
+                    scorex = jnp.dot(
+                        score, expand, preferred_element_type=jnp.float32
+                    )
+                    if caps[k] < window:
+                        tail = ((0, window - caps[k]), (0, 0))
+                        num += jnp.pad(scorex * h_u, tail)
+                        denx += jnp.pad(scorex, tail)
+                    else:
+                        num += scorex * h_u
+                        denx += scorex
+                msg = num / jnp.where(denx == 0, 1.0, denx)
+                msg = msg.astype(cdt).astype(jnp.float32)
+                if l != num_layers - 1:
+                    feat = msg + skip
+                    feat = jnp.where(feat <= 0, jnp.exp(feat) - 1, feat)
+                    feat = feat.astype(cdt)
+                    g = jnp.dot(
+                        feat,
+                        glue_ref[l * hd : (l + 1) * hd, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    hx = g[:, :pay].astype(cdt)
+                    skip = g[:, pay : pay + hd]
+                    s_src = g[:, pay + hd :].astype(cdt).astype(jnp.float32)
+                else:
+                    out_ref[:] = _pool_epilogue(
+                        msg + skip, x_ref, pay + hd + nh, predw_ref,
+                        window, gmax,
+                    )
+
+        return pl.pallas_call(
+            kernel,
+            grid=(num_windows,),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+            in_specs=[
+                pl.BlockSpec((sw, window), lambda w: (w, 0)),
+                pl.BlockSpec((window, xw), lambda w: (w, 0)),
+                pl.BlockSpec(glue_w.shape, lambda w: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (num_windows * gmax, t_out), jnp.float32
+            ),
+            interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+        )(onehot_tiles, xcat, glue_w, pred_hd)
+
+    return model
+
+
+def _variant_model_v5(variant: str, window: int, slots: int, num_heads: int,
+                      num_layers: int, gmax: int, prefix_caps):
+    """Round-4 candidate: EXPANDED-SCORE payload — no expand matmuls.
+
+    The production kernel widens per-head scores [c, H] to [c, HD] with a
+    K=H one-hot matmul per slot (73 µs/pass, the worst MXU shape in the
+    kernel). Observation: the glue matmul's output already pads its N to
+    256 lanes, so the per-head score columns can be DUPLICATED D× at pack
+    time inside glue_w itself — the payload then carries s_tgt (and skip's
+    sibling s_src) PRE-expanded to [*, HD], `raw` is computed directly at
+    [c, HD] (same VPU vreg count as [c, H] — lanes are free), and the
+    expand matmuls vanish. Payload = h(HD) ‖ s_tgt_exp(HD) = exactly 128
+    lanes: the gather matmul's width is now fully useful too.
+
+    variant: "full" = stacked gather (production structure);
+    "split" = per-slot gather matmuls (hu_k = onehot_k @ hx inside the
+    slot loop) so Mosaic can interleave slot k's VPU accumulate with slot
+    k+1's MXU gather; "nogather" knocks the gather out (floor check).
+    Math is bit-identical to v3 (column duplication commutes with the
+    dot; the exp sees the same f32 values).
+
+    Mosaic caveat: an under-cap slot's `jnp.pad` rejects operands whose
+    layout descends from offset-64 lane slices ("result/input offset
+    mismatch on non-concat dimension"), so full-cap slots take the direct
+    no-pad path while under-cap slots launder the expanded score through
+    an exact identity matmul (M=cap≤64 — trivial) before padding, the
+    same layout-rebuilding role v3's expand matmul plays."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def model(pstack, h0, skip0, s0x, glue_wx, pool_gl, pred_hd):
+        from ..ops.pallas.local_layer import _pool_epilogue
+
+        n, hd = h0.shape
+        num_windows = -(-n // window)
+        pad = num_windows * window - n
+        if pad:
+            h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+            skip0 = jnp.pad(skip0, ((0, pad), (0, 0)))
+            s0x = jnp.pad(s0x, ((0, pad), (0, 0)))
+        cdt = h0.dtype
+        t_out = pred_hd.shape[1]
+        pay = 2 * hd  # h ‖ s_tgt_exp — fully-used 128 lanes
+        xcat = jnp.concatenate(
+            [h0, s0x[:, hd:].astype(cdt),
+             skip0.astype(cdt), s0x[:, :hd].astype(cdt),
+             pool_gl[:, None].astype(cdt)], axis=1
+        )
+        caps = tuple(int(c) for c in prefix_caps)
+        offs = tuple(int(sum(caps[:k])) for k in range(len(caps)))
+        sw = int(sum(caps))
+        xw = pay + 2 * hd + 1
+
+        def kernel(uslot_ref, x_ref, glue_ref, predw_ref, out_ref):
+            us = uslot_ref[:, 0].astype(jnp.float32)
+            lanes = jax.lax.broadcasted_iota(
+                jnp.int32, (sw, window), 1
+            ).astype(jnp.float32)
+            onehot = (us[:, None] == lanes).astype(cdt)
+            valid = (us < float(window))[:, None].astype(jnp.float32)
+            ident = (
+                jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1)
+            ).astype(jnp.float32)
+            hx = x_ref[:, :pay]
+            skip = x_ref[:, pay : pay + hd].astype(jnp.float32)
+            s_srcx = x_ref[:, pay + hd : pay + 2 * hd].astype(jnp.float32)
+            for l in range(num_layers):
+                if variant == "nogather":
+                    hu = jnp.concatenate(
+                        [hx.astype(jnp.float32)]
+                        * (-(-sw // window)), axis=0
+                    )[:sw]
+                elif variant != "split":
+                    hu = jnp.dot(
+                        onehot, hx, preferred_element_type=jnp.float32
+                    )
+                num = jnp.zeros((window, hd), jnp.float32)
+                denx = jnp.zeros((window, hd), jnp.float32)
+                for k in range(slots):
+                    sl = slice(offs[k], offs[k] + caps[k])
+                    rsl = slice(0, caps[k])
+                    if variant == "split":
+                        hu_k = jnp.dot(
+                            onehot[sl], hx,
+                            preferred_element_type=jnp.float32,
+                        )
+                    else:
+                        hu_k = hu[sl]
+                    h_u = hu_k[:, :hd]
+                    raw = s_srcx[rsl] + hu_k[:, hd:]
+                    score = (
+                        jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+                        * valid[sl]
+                    )
+                    if caps[k] < window:
+                        score = jnp.dot(
+                            score, ident,
+                            preferred_element_type=jnp.float32,
+                        )  # exact layout launder: pad rejects the raw VPU chain
+                        tail = ((0, window - caps[k]), (0, 0))
+                        num += jnp.pad(score * h_u, tail)
+                        denx += jnp.pad(score, tail)
+                    else:
+                        num += score * h_u
+                        denx += score
+                msg = num / jnp.where(denx == 0, 1.0, denx)
+                msg = msg.astype(cdt).astype(jnp.float32)
+                if l != num_layers - 1:
+                    feat = msg + skip
+                    feat = jnp.where(feat <= 0, jnp.exp(feat) - 1, feat)
+                    feat = feat.astype(cdt)
+                    g = jnp.dot(
+                        feat,
+                        glue_ref[l * hd : (l + 1) * hd, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    hx = g[:, :pay].astype(cdt)
+                    skip = g[:, pay : pay + hd]
+                    s_srcx = (
+                        g[:, pay + hd :].astype(cdt).astype(jnp.float32)
+                    )
+                else:
+                    out_ref[:] = _pool_epilogue(
+                        msg + skip, x_ref, pay + 2 * hd, predw_ref,
+                        window, gmax,
+                    )
+
+        return pl.pallas_call(
+            kernel,
+            grid=(num_windows,),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+            in_specs=[
+                pl.BlockSpec((sw, 1), lambda w: (w, 0)),
+                pl.BlockSpec((window, xw), lambda w: (w, 0)),
+                pl.BlockSpec(glue_wx.shape, lambda w: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (num_windows * gmax, t_out), jnp.float32
+            ),
+            interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+        )(pstack[:, None], xcat, glue_wx, pred_hd)
+
+    return model
+
+
+def expand_score_operands(glue_w, s0, hd: int, num_heads: int):
+    """Pack-time transform for the v5 payload: duplicate each per-head
+    score column D× inside glue_w (and s0) so the kernel receives
+    pre-expanded scores. glue_w columns [h(0:hd) ‖ s_tgt(hd:hd+H) ‖ pad ‖
+    skip ‖ s_src(·:·+H)] → [h ‖ s_tgt_exp(hd) ‖ skip ‖ s_src_exp(hd)]."""
+    import jax.numpy as jnp
+
+    nh = num_heads
+    d = hd // nh
+    pay_old = max(128, hd + nh)
+    rep = lambda cols: jnp.repeat(cols, d, axis=1)  # [*, H] -> [*, HD]
+    glue_wx = jnp.concatenate(
+        [glue_w[:, :hd], rep(glue_w[:, hd : hd + nh]),
+         glue_w[:, pay_old : pay_old + hd],
+         rep(glue_w[:, pay_old + hd : pay_old + hd + nh])], axis=1
+    )
+    s0x = jnp.concatenate(
+        [rep(s0[:, :nh]), rep(s0[:, nh:])], axis=1
+    )  # [n, 2·HD]: s_src_exp ‖ s_tgt_exp
+    return glue_wx, s0x
 
 
 def main() -> None:
@@ -473,6 +807,16 @@ def main() -> None:
     from ..models.base import slot_prefix_caps
 
     pcaps = slot_prefix_caps(batch, n_slots)
+    # Prebuilt bf16 one-hot gather tiles for the v4 variants: built ONCE
+    # from the same prefix-compacted index stack the kernel would build
+    # them from per layer (sentinel rows >= window become all-zero).
+    caps_v4 = pcaps or (window,) * n_slots
+    stack_v4 = common["slot_pstack"] if pcaps else common["slot_stack"]
+    sw_v4 = int(sum(caps_v4))
+    us_v4 = jnp.asarray(stack_v4).reshape(-1, sw_v4).astype(jnp.float32)
+    common["onehot_tiles"] = (
+        us_v4[:, :, None] == jnp.arange(window, dtype=jnp.float32)
+    ).astype(prec.compute_dtype).reshape(-1, window)
     prod = dict(
         slots=lambda **a: gat_local_model_slots(
             a["slot_pstack"] if pcaps else a["slot_stack"],
@@ -498,6 +842,37 @@ def main() -> None:
                     _s, *geom, pcaps
                 )(
                     a["slot_pstack"], a["h0"], a["skip0"], a["s0"],
+                    a["glue_w"], a["pool_gl"], a["pred_hd"],
+                )
+            )(stage)
+        elif v == "v5" or v.startswith("v5:"):
+            # Expanded-score payload (no expand matmuls): `v5` = stacked
+            # gather, `v5:split` = per-slot gather matmuls (MXU/VPU
+            # interleave), `v5:nogather` = floor check.
+            stage = v.split(":", 1)[1] if ":" in v else "full"
+            glue_wx, s0x = expand_score_operands(
+                common["glue_w"], common["s0"], H * D, H
+            )
+            fn = (
+                lambda _s, _g, _x: lambda **a: _variant_model_v5(
+                    _s, *geom, caps_v4
+                )(
+                    a["slot_pstack"] if pcaps else a["slot_stack"],
+                    a["h0"], a["skip0"], _x, _g,
+                    a["pool_gl"], a["pred_hd"],
+                )
+            )(stage, glue_wx, s0x)
+        elif v == "v4" or v.startswith("v4:"):
+            # Prebuilt-one-hot candidate: the gather one-hot arrives as a
+            # bf16 HBM operand (DMA'd per grid step) instead of being
+            # built in-kernel per layer. `v4:nogather` knocks the matmul
+            # out on top (keeps the operand DMA).
+            stage = v.split(":", 1)[1] if ":" in v else "full"
+            fn = (
+                lambda _s: lambda **a: _variant_model_v4(
+                    _s, *geom, caps_v4
+                )(
+                    a["onehot_tiles"], a["h0"], a["skip0"], a["s0"],
                     a["glue_w"], a["pool_gl"], a["pred_hd"],
                 )
             )(stage)

@@ -25,21 +25,59 @@ def embedding_key(jparams: dict) -> str:
     )
 
 
+import os
+
+# Scan-stack same-signature buckets beyond this count (env override for
+# testing / forcing either path).
+STACK_THRESHOLD = int(os.environ.get("FLOWGNN_STACK_THRESHOLD", "6"))
+
+
 def time_stream(spec, jparams, batches, prec, reps: int, trials: int):
     """Time ``reps`` chained passes over ``batches``; returns (best, avg)
-    seconds per pass (whole stream, all buckets)."""
+    seconds per pass (whole stream, all buckets).
+
+    Long streams: buckets sharing one program signature (see
+    base.as_batches_uniform) are STACKED and driven by a lax.scan when
+    the group exceeds STACK_THRESHOLD, so program size and compile time
+    stay independent of stream length — a 43k-graph molpcba stream (43
+    buckets) compiles one bucket body, exactly as the reference compiles
+    one kernel for its whole-dataset enqueue. Small groups stay unrolled
+    (a scan's per-step dynamic-slice of the stacked device constants
+    costs a little; unrolled constants cost nothing)."""
     import jax
     import jax.numpy as jnp
 
+    from ..models.base import batch_signature
+
     emb_key = embedding_key(jparams)
+
+    groups: dict = {}
+    for batch in batches:
+        groups.setdefault(batch_signature(batch), []).append(batch)
+    progs = []
+    for bs in groups.values():
+        if len(bs) > STACK_THRESHOLD:
+            progs.append(
+                ("scan", {k: np.stack([b[k] for b in bs]) for k in bs[0]})
+            )
+        else:
+            progs.extend(("single", b) for b in bs)
+
+    def bucket_step(c, batch):
+        p = dict(jparams)
+        p[emb_key] = p[emb_key] + c
+        out = spec.forward(p, batch, prec)
+        return c + out[0, 0] * 0
 
     def one_pass(carry):
         c = carry
-        for batch in batches:
-            p = dict(jparams)
-            p[emb_key] = p[emb_key] + c
-            out = spec.forward(p, batch, prec)
-            c = c + out[0, 0] * 0
+        for kind, b in progs:
+            if kind == "single":
+                c = bucket_step(c, b)
+            else:
+                c, _ = jax.lax.scan(
+                    lambda cc, bb: (bucket_step(cc, bb), None), c, b
+                )
         return c
 
     def trial_fn(carry):

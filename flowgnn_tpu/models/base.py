@@ -380,7 +380,8 @@ def _attach_degrees(batch: dict, n: int) -> None:
 
 def as_batch(
     packed: PackedGraphs, blocked=False, window: int | None = None,
-    block: int | None = None,
+    block: int | None = None, *, slots: int | None = None,
+    prefix_caps=None, spill_capacity: int | None = None,
 ) -> dict:
     """PackedGraphs → dict of numpy arrays ready for jnp/jit consumption.
 
@@ -398,6 +399,15 @@ def as_batch(
     spill tail is auto-sized to the actual spill count (zero lanes when
     window-aligned packing leaves nothing to spill — the models then skip
     the per-layer spill reduction entirely).
+
+    ``slots`` / ``prefix_caps`` / ``spill_capacity`` pin the otherwise
+    bucket-auto-derived static layout parameters (slot-axis depth,
+    per-slot prefix caps, spill-tail lanes) so every bucket of a stream
+    shares ONE program signature — the prerequisite for stacking buckets
+    under a lax.scan (bench protocol; see ``as_batches_uniform``). Pinned
+    values must cover the bucket's own requirements (use stream-wide
+    maxima); under-pinned slots route deeper in-degrees to the spill
+    tail, while under-pinned caps are rejected (they would drop edges).
     """
     batch = {
         "node_feat": packed.node_feat,
@@ -457,9 +467,10 @@ def as_batch(
         s_needed = int(
             np.bincount(receivers[loc], minlength=n).max()
         ) if loc.any() else 1
-        s_slots = max(1, min(s_needed, PALLAS_SLOTS))
+        s_slots = slots or max(1, min(s_needed, PALLAS_SLOTS))
         slot_src, spill, count = build_local_slots(
             senders, receivers, n, window=w, slots=s_slots,
+            spill_capacity=spill_capacity,
         )
         batch["slot_src"] = slot_src  # [NW·W, S] — rides the feature tile
         # GAT's stacked-gather kernel wants the [NW·S·W] column layout in a
@@ -486,6 +497,15 @@ def as_batch(
             # ("Check failed: limits[i] <= dim(i)").
             caps = np.minimum(-(-occ.max(axis=0) // 64) * 64, w)
             caps = np.maximum(caps, 64)
+            if prefix_caps is not None:
+                pinned = np.asarray(prefix_caps, np.int64)
+                if (pinned < occ.max(axis=0)).any():
+                    raise ValueError(
+                        "pinned prefix_caps below this bucket's slot "
+                        f"occupancy ({tuple(pinned)} < "
+                        f"{tuple(occ.max(axis=0))}) — would drop edges"
+                    )
+                caps = np.minimum(pinned, w)
             m_rows = int(caps.sum())
             pstack = np.full((nw, m_rows), w, np.int32)
             off = 0
@@ -534,6 +554,7 @@ def as_batch(
                 packed.senders, packed.receivers, n,
                 window=window or PALLAS_ELL_WINDOW,
                 block=block or PALLAS_ELL_BLOCK,
+                spill_capacity=spill_capacity,
             )
             if lb.k_blocks > 1:
                 import sys
@@ -611,6 +632,65 @@ def as_batch(
         batch["blk_vlocal"] = blocks.v_local
         batch["blk_window"] = blocks.block_window
     return batch
+
+
+def batch_signature(batch: dict):
+    """Static program signature of a batch: the sorted (key, shape, dtype)
+    tuple. Batches with equal signatures compile to the same program and
+    can be stacked under one lax.scan (bench protocol)."""
+    return tuple(sorted((k, v.shape, str(v.dtype)) for k, v in batch.items()))
+
+
+def as_batches_uniform(
+    buckets, blocked=False, window: int | None = None,
+    block: int | None = None,
+) -> list:
+    """as_batch over a whole bucket stream, reconciling the auto-derived
+    static layout parameters (slot depth, prefix caps, spill lanes) to
+    stream-wide maxima so every bucket shares one program signature where
+    possible. This is what lets the timing protocol scan over stacked
+    buckets — one compiled bucket body for an arbitrarily long stream,
+    matching the reference's whole-dataset-per-enqueue discipline
+    (run_experiments.sh:44-46) with a compile time independent of stream
+    length. Buckets that still differ (e.g. content-dependent spill-block
+    layouts) simply land in their own signature group."""
+    mk = lambda b, **kw: as_batch(
+        b, blocked=blocked, window=window, block=block, **kw
+    )
+    batches = [mk(b) for b in buckets]
+    if len(batches) < 2 or len({batch_signature(b) for b in batches}) == 1:
+        return batches
+    kw = {}
+    if blocked == "local_slots":
+        kw["slots"] = max(b["slot_geom"].shape[-1] for b in batches)
+        if all("slot_pcap_0" in b for b in batches):
+            # No bucket spills: reconcile the per-slot prefix caps
+            # (missing deeper slots contribute the 64-row floor).
+            import itertools
+
+            caps = [
+                tuple(
+                    b[f"slot_pcap_{k}"].shape[-2]
+                    for k in range(b["slot_geom"].shape[-1])
+                )
+                for b in batches
+            ]
+            kw["prefix_caps"] = tuple(
+                max(c) for c in itertools.zip_longest(*caps, fillvalue=64)
+            )
+        elif all(b["slot_spill_mask"].any() for b in batches):
+            kw["spill_capacity"] = max(
+                b["slot_spill"].shape[-1] for b in batches
+            )
+    elif blocked in ("local", "local_ell"):
+        spill_lanes = [
+            b["senders"].shape[0] - b["loc_ulocal"].shape[0] for b in batches
+        ]
+        if min(spill_lanes) > 0:
+            kw["spill_capacity"] = max(spill_lanes)
+    if not kw:
+        return batches
+    return [mk(b, **kw) for b in buckets]
 
 
 def ell_geometry(batch: dict) -> tuple[int, int]:

