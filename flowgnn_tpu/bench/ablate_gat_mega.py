@@ -278,6 +278,16 @@ def _variant_model_v3(variant: str, window: int, slots: int, num_heads: int,
                         [hx.astype(jnp.float32)]
                         * (-(-sw // window)), axis=0
                     )[:sw]
+                elif variant == "bf16hu":
+                    # One-hot gathers of a bf16 payload are EXACT in bf16
+                    # (each output row is a single selected value), so a
+                    # bf16-held hu halves the [Σc_k, 128] VMEM residency +
+                    # per-slot re-read traffic of the gather. Mosaic
+                    # requires the matmul acc itself to be 32-bit
+                    # ("Expected matmul acc to be 32-bit"), so cast after.
+                    hu = jnp.dot(
+                        onehot, hx, preferred_element_type=jnp.float32
+                    ).astype(cdt)
                 elif variant != "split":
                     hu = jnp.dot(
                         onehot, hx, preferred_element_type=jnp.float32
@@ -319,12 +329,22 @@ def _variant_model_v3(variant: str, window: int, slots: int, num_heads: int,
                     if variant == "stackexp":
                         scorex = scorex_all[sl]
                     else:
-                        raw = s_src[rsl] + s2
+                        # explicit f32: a mixed-dtype where here trips a
+                        # JAX closed_call lowering-cache KeyError when hu
+                        # is bf16 (bf16hu)
+                        raw = s_src[rsl] + s2.astype(jnp.float32)
                         if variant == "noexp":
                             score = raw * valid[sl]
                         else:
+                            # max/min leaky ≡ where(raw<0, 0.2·raw, raw)
+                            # bit-exactly; jnp.where here trips a JAX
+                            # closed_call lowering-cache KeyError under
+                            # bf16 hu
                             score = (
-                                jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+                                jnp.exp(
+                                    jnp.maximum(raw, 0.0)
+                                    + 0.2 * jnp.minimum(raw, 0.0)
+                                )
                                 * valid[sl]
                             )
                         if variant == "noexpand":
@@ -338,7 +358,11 @@ def _variant_model_v3(variant: str, window: int, slots: int, num_heads: int,
                             )
                     if caps[k] < window:
                         tail = ((0, window - caps[k]), (0, 0))
-                        num += jnp.pad(scorex * h_u, tail)
+                        # f32-pure pad operand: a bf16 factor in the pad
+                        # chain trips the same JAX closed_call cache bug
+                        num += jnp.pad(
+                            scorex * h_u.astype(jnp.float32), tail
+                        )
                         denx += jnp.pad(scorex, tail)
                     else:
                         num += scorex * h_u
