@@ -48,7 +48,13 @@ ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
     "gcn": (384, 896),  # W384 sweep: 1.75 vs 1.96 @ (256,640)
     "gat": (256, 1024),
     "dgn": (256, 1024),
-    "pna": (512, 1536),  # dest-major slot kernel: W512 beats W256 (3.03 vs 3.43)
+    # Round-4 re-sweep inverted the round-2 W512-vs-W256 call (3.03 vs
+    # 3.43 then; 0.865 vs 0.830 at 1028 graphs now — the slot kernels got
+    # lean enough that smaller windows' lower slot-FLOP cost wins), and
+    # the whole-dataset protocol confirms: 0.615 vs 0.650 us/graph
+    # (93.3x vs 88.8x). choose_window still bumps hep10k back to
+    # (512, 1536) — identical to its prior tuned geometry.
+    "pna": (256, 768),
 }
 PALLAS_SLOTS = 8  # dest-major in-edge slots (PNA stats kernel)
 SPILL_SCATTER_WINDOW = 512  # scatter window of the kernelized spill tail
