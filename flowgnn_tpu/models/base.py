@@ -47,7 +47,11 @@ ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
     "gin-vn": (384, 896),
     "gcn": (384, 896),  # W384 sweep: 1.75 vs 1.96 @ (256,640)
     "gat": (256, 1024),
-    "dgn": (256, 1024),
+    # Round-4 re-sweep: W384 beats W256 by ~1.3% consistently (0.507/
+    # 0.509 vs 0.514/0.515 us/graph across interleaved whole-dataset
+    # runs; same direction at the 1028-graph protocol). choose_window
+    # still bumps hep10k to (512, 2048) — identical to before the flip.
+    "dgn": (384, 1536),
     # Round-4 re-sweep inverted the round-2 W512-vs-W256 call (3.03 vs
     # 3.43 then; 0.865 vs 0.830 at 1028 graphs now — the slot kernels got
     # lean enough that smaller windows' lower slot-FLOP cost wins), and
