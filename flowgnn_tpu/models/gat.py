@@ -137,11 +137,46 @@ def megakernel_operands(params: dict, prec: Precision) -> dict:
                 axis=1,
             )
         )
+    # Two-window-pairs operands (gat_local_model_pairs): block-diagonal
+    # forms over the 2·HD = 128 paired lane layout. glue2 = per layer
+    # [[proj, 0, skip, 0], [0, proj, 0, skip]] (K=128, N=256 — full MXU
+    # depth vs the single-window K=64 glue); ab = per layer
+    # [blockdiag(a_tgt map ×2) ‖ blockdiag(a_src map ×2)] for the
+    # in-kernel score recomputes; pred2 = blockdiag(pred_hd ×2).
+    z = jnp.zeros((hd, hd), cdt)
+
+    def _ablk(a_l):  # [H, D] → [HD, H] per-head score map, right-mul
+        return (a_l[:, :, None] * eye[:, None, :]).reshape(hd, H).astype(cdt)
+
+    zh = jnp.zeros((hd, H), cdt)
+    glue2, ab = [], []
+    for l in range(L):
+        at, as_ = _ablk(params["a_tgt"][l]), _ablk(params["a_src"][l])
+        ab.append(jnp.concatenate([
+            jnp.concatenate([at, zh, as_, zh], axis=1),
+            jnp.concatenate([zh, at, zh, as_], axis=1),
+        ], axis=0))  # [2HD, 4H]
+        if l < L - 1:
+            p_l = proj_w[l * hd : (l + 1) * hd]
+            s_l = skip_w[(l + 1) * hd : (l + 2) * hd]
+            glue2.append(jnp.concatenate([
+                jnp.concatenate([p_l, z, s_l, z], axis=1),
+                jnp.concatenate([z, p_l, z, s_l], axis=1),
+            ], axis=0))  # [2HD, 4HD]
+    zt = jnp.zeros_like(pred_hd)
+    pred2 = jnp.concatenate([
+        jnp.concatenate([pred_hd, zt], axis=1),
+        jnp.concatenate([zt, pred_hd], axis=1),
+    ], axis=0)  # [2HD, 2T]
     return dict(
         skip_w=skip_w, proj_w=proj_w, a_next=a_next, pred_hd=pred_hd,
         skip0_w=skip_w[:hd],
         glue_w=jnp.concatenate(glue, axis=0) if glue else
         jnp.zeros((0, pay + hd + H), cdt),
+        glue2_w=jnp.concatenate(glue2, axis=0) if glue2 else
+        jnp.zeros((0, 4 * hd), cdt),
+        ab_w=jnp.concatenate(ab, axis=0),
+        pred2_w=pred2,
     )
 
 
@@ -206,9 +241,33 @@ def forward(
         # [W, W] multiplicity mask, per-head [W, W]@[W, D] aggregation —
         # no feature gather). Read at trace time; pending TPU measurement.
         dense = _os.environ.get("FLOWGNN_GAT_DENSE", "0") == "1"
+        # Two-window lane packing (gat_local_model_pairs): two 64-lane
+        # windows share each 128-lane tile; scores recomputed off-payload.
+        pairs = (
+            _os.environ.get("FLOWGNN_GAT_PAIRS", "0") == "1" and not dense
+        )
         model_kernel = gat_local_model_dense if dense else gat_local_model_slots
 
         ops = megakernel_operands(params, prec)
+        if pairs:
+            from ..ops.pallas.local_layer import gat_local_model_pairs
+            from .base import acc_dtype
+
+            skip0 = jnp.dot(
+                prev.reshape(n, H * D), ops["skip0_w"],
+                preferred_element_type=acc_dtype(prec),
+            ).astype(prec.compute_dtype)
+            prefix = _base.slot_prefix_caps(batch, n_slots)
+            pool = gat_local_model_pairs(
+                batch["slot_pstack"] if prefix else batch["slot_stack"],
+                h.reshape(n, H * D), skip0,
+                ops["glue2_w"], ops["ab_w"],
+                jnp.asarray(batch["pool_gl"]), ops["pred2_w"],
+                window, n_slots, H, L, _base.POOL_GMAX,
+                prefix_caps=prefix,
+            )
+            pool = _base.pool_gather(pool, edge_axis if halo else None)
+            return _base.pool_finish(pool, batch, params["pred_b"], prec)
         if dense:
             pool = model_kernel(
                 batch["slot_stack"], h.reshape(n, H * D),

@@ -2094,6 +2094,235 @@ def gat_local_model_slots(
     return out
 
 
+def gat_local_model_pairs(
+    slot_stack: jnp.ndarray,  # [NW·SW] stacked dest-major sources, FLOAT dtype
+    h0: jnp.ndarray,  # [n, H·D] layer-0 projected features, head-major flat
+    skip0: jnp.ndarray,  # [n, H·D] layer-0 skip term (prev0 @ skip_w[0])
+    glue2_w: jnp.ndarray,  # [(L-1)·2HD, 4HD] paired block-diag [proj ‖ skip]
+    ab_w: jnp.ndarray,  # [L·2HD, 4H] per-layer block-diag [a_tgt ‖ a_src] maps
+    pool_gl: jnp.ndarray,  # [NW·W] graph-local ids (base._attach_pool_layout)
+    pred2_w: jnp.ndarray,  # [2HD, 2T] block-diag head-average ∘ prediction head
+    window: int,
+    slots: int,
+    num_heads: int,
+    num_layers: int,
+    gmax: int,
+    prefix_caps: tuple | None = None,  # per-slot static caps (degree-sorted)
+) -> jnp.ndarray:
+    """GAT whole-model megakernel with TWO-WINDOW LANE PACKING.
+
+    GAT's H·D = 64 features half-fill every 128-lane vreg and MXU tile —
+    the structural diagnosis behind its worst-relative speedup (BENCH.md
+    round-4 conclusion). This kernel packs two windows (A, B) per grid
+    step so 2·HD = 128 lanes are always fully used:
+
+      * GATHER: one "two-hot" [Σc, 2W] @ [2W, 2HD] matmul against the
+        block-diagonal payload [[h_A ‖ 0], [0 ‖ h_B]] replaces two
+        [Σc, W] @ [W, 128] half-useful gathers — K doubles to 2W (full
+        MXU depth), the invocation count halves, and every output lane
+        is payload (row r = [h_A[srcA_r] ‖ h_B[srcB_r]]).
+      * SCORES OFF-PAYLOAD: 2·(HD + H) = 136 lanes no longer fit the
+        128-lane gather payload, so s_tgt is RECOMPUTED from the gathered
+        rows (s2 = hu @ blockdiag(a_tgt, a_tgt), one [Σc, 2HD] @ [2HD, 2H]
+        matmul per layer) and s_src from the window rows — same math as
+        the reference's per-node score precompute
+        (GAT/src/load_inputs.cc:203-227), just evaluated post-gather.
+      * GLUE: feat_pair [W, 2HD] @ blockdiag(proj, skip ×2) [2HD, 4HD]
+        runs at K=128/N=256 instead of the measured-12.6%-of-peak
+        [W, 64]@[64, ·] shape (BASELINE.md matmul table) — 2× the padded
+        FLOPs of two singles but full MXU depth.
+      * VPU: accumulators, score chain and ELU all run [·, 128]-wide for
+        two windows at once; the grid halves its steps.
+
+    Message/glue math is identical to gat_local_model_slots (raw-exp
+    softmax ≙ GAT/src/message_passing.cc:122-148, skip + ELU ≙
+    node_embedding.cc:156-196, in-kernel finalize ≙ finalize.cc:90-110);
+    the score recompute makes each layer's s_src/s_tgt the product of the
+    QUANTIZED h_{l+1} (closer to the per-layer reference order than the
+    fused-glue scat composition). Returns [NW·gmax, T] f32 prediction
+    sums for base.pool_finish — same row layout as the unpaired kernel
+    (pair p writes windows 2p, 2p+1's gmax-row groups). No-spill only.
+    """
+    n, hd = h0.shape
+    d = hd // num_heads
+    nh = num_heads
+    pay2 = 2 * hd  # 128 paired payload lanes
+    num_windows = -(-n // window)
+    if num_windows % 2:
+        num_windows += 1  # phantom all-pad window completes the last pair
+    rows = num_windows * window
+    pad = rows - n
+    if pad:
+        h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+        skip0 = jnp.pad(skip0, ((0, pad), (0, 0)))
+    cdt = h0.dtype
+    t_out = pred2_w.shape[1] // 2
+    if prefix_caps is not None:
+        caps = tuple(int(c) for c in prefix_caps)
+        offs = tuple(int(sum(caps[:k])) for k in range(len(caps)))
+        sw = int(sum(caps))
+    else:
+        caps = tuple(window for _ in range(slots))
+        offs = tuple(k * window for k in range(slots))
+        sw = slots * window
+    gl = pool_gl.astype(cdt)
+    if gl.shape[0] < rows:  # phantom window rows pool to the sentinel
+        gl = jnp.concatenate(
+            [gl, jnp.full((rows - gl.shape[0],), float(gmax), cdt)]
+        )
+    stack = slot_stack
+    if stack.shape[0] < num_windows * sw:  # phantom window lanes: sentinel
+        stack = jnp.concatenate(
+            [stack,
+             jnp.full((num_windows * sw - stack.shape[0],), float(window),
+                      stack.dtype)]
+        )
+
+    def pair_cols(a):  # [NW·W, c] → [NW/2·W, 2c]: window 2p ‖ window 2p+1
+        c = a.shape[1]
+        return jnp.concatenate(
+            [a.reshape(num_windows, window, c)[0::2],
+             a.reshape(num_windows, window, c)[1::2]], axis=2
+        ).reshape(num_windows // 2 * window, 2 * c)
+
+    xcat = jnp.concatenate(
+        [pair_cols(h0), pair_cols(skip0.astype(cdt)),
+         pair_cols(gl[:, None])], axis=1
+    )  # [NW/2·W, 2HD + 2HD + 2]
+    pairstack = jnp.concatenate(
+        [stack.reshape(num_windows, sw)[0::2],
+         stack.reshape(num_windows, sw)[1::2]], axis=1
+    ).reshape(-1)[:, None]  # [NW/2 · 2SW, 1] — A's SW rows then B's
+    xw = 2 * pay2 + 2
+
+    def kernel(uslot_ref, x_ref, glue_ref, ab_ref, predw_ref, out_ref):
+        w2 = 2 * window
+        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (sw, w2), 1).astype(
+            jnp.float32
+        )
+        # Two-hot gather matrix: row r is hot at srcA_r (payload rows
+        # [0, W) = window A) and at W + srcB_r (rows [W, 2W) = window B).
+        # Sentinel lanes (src = window) match nothing on either side: A's
+        # sentinel W only meets lanes < W, B's maps to 2W ≥ the iota range.
+        usA = uslot_ref[0:sw, 0].astype(jnp.float32)[:, None]
+        usB = uslot_ref[sw : 2 * sw, 0].astype(jnp.float32)[:, None]
+        usel = jnp.where(lanes2 < float(window), usA, usB + float(window))
+        onehot = (usel == lanes2).astype(cdt)
+        # Per-half valid masks, head-replicated to the paired score lanes.
+        h8 = jax.lax.broadcasted_iota(jnp.int32, (sw, 2 * nh), 1)
+        valid8 = jnp.where(
+            h8 < nh, (usA < float(window)).astype(jnp.float32),
+            (usB < float(window)).astype(jnp.float32),
+        )
+        # Block-diag head expand [2H, 2HD]: col // d spans 0..2H-1.
+        ecol = jax.lax.broadcasted_iota(jnp.int32, (2 * nh, pay2), 1)
+        erow = jax.lax.broadcasted_iota(jnp.int32, (2 * nh, pay2), 0)
+        expand2 = (erow == ecol // d).astype(jnp.float32)
+        # Payload half masks (A lanes [0, HD), B lanes [HD, 2HD)).
+        plane = jax.lax.broadcasted_iota(jnp.int32, (window, pay2), 1)
+        mA = (plane < hd).astype(cdt)
+        mB = (plane >= hd).astype(cdt)
+
+        hpair = x_ref[:, :pay2]
+        skip = x_ref[:, pay2 : 2 * pay2].astype(jnp.float32)
+        glA = x_ref[:, 2 * pay2 : 2 * pay2 + 1].astype(jnp.float32)
+        glB = x_ref[:, 2 * pay2 + 1 : 2 * pay2 + 2].astype(jnp.float32)
+        for l in range(num_layers):
+            ab_l = ab_ref[l * pay2 : (l + 1) * pay2, :]
+            # Block-diagonal payload: [[h_A ‖ 0], [0 ‖ h_B]].
+            payload = jnp.concatenate([hpair * mA, hpair * mB], axis=0)
+            hu = jnp.dot(
+                onehot, payload, preferred_element_type=jnp.float32
+            )  # [SW, 2HD] — row r = [h_A[srcA_r] ‖ h_B[srcB_r]]
+            hu_c = hu.astype(cdt)  # exact: gathered values are cdt
+            s2 = jnp.dot(
+                hu_c, ab_l[:, : 2 * nh], preferred_element_type=jnp.float32
+            )  # [SW, 2H] s_tgt of the gathered sources, per half
+            s_src = jnp.dot(
+                hpair, ab_l[:, 2 * nh :], preferred_element_type=jnp.float32
+            )  # [W, 2H] per dest row, per half
+            num = jnp.zeros((window, pay2), jnp.float32)
+            denx = jnp.zeros((window, pay2), jnp.float32)
+            for k in range(slots):
+                sl = slice(offs[k], offs[k] + caps[k])
+                rows_k = slice(0, caps[k])  # dest rank r = window row r
+                raw = s_src[rows_k] + s2[sl]
+                score = (
+                    jnp.exp(jnp.where(raw < 0, raw * 0.2, raw)) * valid8[sl]
+                )
+                scorex = jnp.dot(
+                    score, expand2, preferred_element_type=jnp.float32
+                )
+                if caps[k] < window:
+                    tail = ((0, window - caps[k]), (0, 0))
+                    num += jnp.pad(scorex * hu[sl], tail)
+                    denx += jnp.pad(scorex, tail)
+                else:
+                    num += scorex * hu[sl]
+                    denx += scorex
+            msg = num / jnp.where(denx == 0, 1.0, denx)
+            msg = msg.astype(cdt).astype(jnp.float32)  # ≙ prec.q
+            if l != num_layers - 1:
+                feat = msg + skip
+                feat = jnp.where(
+                    feat <= 0, jnp.exp(feat) - 1, feat
+                ).astype(cdt)  # ELU, ≙ prec.q(feat)
+                g = jnp.dot(
+                    feat,
+                    glue_ref[l * pay2 : (l + 1) * pay2, :],
+                    preferred_element_type=jnp.float32,
+                )  # [W, 4HD] = [h_{l+1} pair ‖ skip_{l+1} pair]
+                hpair = g[:, :pay2].astype(cdt)
+                skip = g[:, pay2:]
+            else:
+                outp = (msg + skip).astype(cdt)
+                p = jnp.dot(
+                    outp, predw_ref[:], preferred_element_type=jnp.float32
+                )  # [W, 2T] — per-node predictions, per half
+                g2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (window, 2 * gmax), 1
+                )
+                glsel = jnp.where(g2 < gmax, glA, glB)
+                ohg = (glsel == (g2 % gmax).astype(jnp.float32)).astype(
+                    jnp.float32
+                )
+                pooled = jax.lax.dot_general(
+                    ohg, p, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [2·gmax, 2T]
+                out_ref[0:gmax] = pooled[0:gmax, 0:t_out]
+                out_ref[gmax : 2 * gmax] = pooled[gmax:, t_out : 2 * t_out]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows // 2,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((2 * sw, 1), lambda w: (w, 0)),
+            pl.BlockSpec((window, xw), lambda w: (w, 0)),
+            pl.BlockSpec(glue2_w.shape, lambda w: (0, 0)),
+            pl.BlockSpec(ab_w.shape, lambda w: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * gmax, t_out), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=num_windows
+            * num_layers
+            * (2 * sw * window * pay2  # two-hot gather (K = 2W)
+               + 2 * sw * pay2 * 2 * nh  # s_tgt recompute
+               + window * pay2 * (2 * pay2 + 2 * nh)),  # glue + s_src
+            bytes_accessed=num_windows // 2
+            * (2 * sw + window * xw * 4),
+            transcendentals=num_layers * num_windows // 2 * sw * 2 * nh,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(pairstack, xcat, glue2_w, ab_w, pred2_w)
+    return out
+
+
 def gat_local_model_dense(
     slot_stack: jnp.ndarray,  # [NW·S·W] stacked dest-major sources, FLOAT dtype
     h0: jnp.ndarray,  # [n, H·D] layer-0 projected features, head-major flat

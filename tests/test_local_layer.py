@@ -461,6 +461,52 @@ def test_gat_dgn_local_slots_overflow(name, reference_root):
                     rtol=1e-5, atol=1e-5, msg=name)
 
 
+def test_gat_pairs_megakernel_equals_plain(graphs16, reference_root,
+                                           monkeypatch):
+    """Two-window lane-packing megakernel (FLOWGNN_GAT_PAIRS=1) == plain.
+
+    Covers the phantom-window completion (the 513-row cap at W=256 gives
+    an odd window count) and the degree-sorted prefix layout. Includes a
+    dead-wiring guard (corrupting the prefix stack must change the
+    output) and a bf16-drift check against the unpaired megakernel."""
+    monkeypatch.setenv("FLOWGNN_GAT_PAIRS", "1")
+    spec = registry.get("gat")
+    params = spec.loader(os.path.join(reference_root, "GAT"))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:4])
+    small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
+    plain = spec.forward(jp, as_batch(pack_graphs(tg, **small)), FLOAT32)
+    sbatch = as_batch(
+        pack_graphs_aligned(tg, window=256, **small),
+        blocked="local_slots", window=256,
+    )
+    assert "slot_pcap_0" in sbatch  # prefix layout engaged
+    paired = spec.forward(jp, sbatch, FLOAT32)
+    assert_allclose(np.asarray(paired)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5, msg="gat pairs")
+    corrupt = dict(sbatch)
+    corrupt["slot_pstack"] = np.where(
+        sbatch["slot_pstack"] < 256, 0, sbatch["slot_pstack"]
+    ).astype(sbatch["slot_pstack"].dtype)
+    broken = spec.forward(jp, corrupt, FLOAT32)
+    assert not np.allclose(np.asarray(broken)[:4], np.asarray(plain)[:4],
+                           rtol=1e-5, atol=1e-5)
+    # bf16: the paired kernel recomputes s_src/s_tgt from the quantized
+    # h_{l+1} (the per-layer order) while the fused glue composes them
+    # unquantized — drift stays within the slot path's envelope.
+    from flowgnn_tpu.core.numerics import BF16
+
+    jb = prepare_params(params, BF16)
+    pairs16 = spec.forward(jb, sbatch, BF16)
+    monkeypatch.setenv("FLOWGNN_GAT_PAIRS", "0")
+    slots16 = spec.forward(jb, sbatch, BF16)
+    assert_allclose(
+        np.asarray(pairs16, np.float32)[:4],
+        np.asarray(slots16, np.float32)[:4],
+        rtol=0.05, atol=0.05, msg="gat pairs bf16 vs slots bf16",
+    )
+
+
 def test_gat_dense_attention_equals_plain(graphs16, reference_root,
                                           monkeypatch):
     """Opt-in dense-attention megakernel (FLOWGNN_GAT_DENSE=1) == plain.
