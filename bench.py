@@ -105,24 +105,28 @@ def main() -> None:
 
         params = spec.loader(os.path.join("/root/reference", spec.reference_dir))
         jparams = prepare_params(params, prec)
-        # Default stream: the dataset's OFFICIAL graph count — the
-        # reference enqueues the whole dataset per measurement
-        # (run_experiments.sh:44-46, GIN/src/GIN_compute.cc:44), and its
-        # U50 per-graph baseline therefore amortizes per-enqueue overhead
+        # Default stream lengths. The reference enqueues the whole dataset
+        # per measurement (run_experiments.sh:44-46, GIN_compute.cc:44),
+        # so its U50 per-graph baseline amortizes per-enqueue overhead
         # over the full dataset; ours must too (the relay dispatch floor
         # is the analog). Buckets stay at the 32k-node per-dispatch sweet
         # spot; same-signature buckets are scan-stacked so compile time
         # does not grow with stream length (bench/protocol.py).
-        # molhiv defaults to its OFFICIAL 4113 (4 buckets, unrolled);
-        # molpcba/hep10k default to a ≤6-bucket sample of the same synthetic
-        # distribution (per-graph normalization makes the metric stream-
-        # length independent; ≤6 buckets keeps the unrolled protocol — the
+        # Only molhiv's default is its official count (4113, 4 buckets
+        # unrolled); molpcba/hep10k default to a ≤6-bucket SAMPLE of the
+        # same synthetic distribution, NOT the official 43793/10000
+        # (per-graph normalization makes the metric stream-length
+        # independent; ≤6 buckets keeps the unrolled protocol — the
         # scan-stacked long-stream path measured +7.8%/pass, BENCH.md —
         # while the floor share still lands ≈1-2% at the default reps).
-        official = {"molhiv": 4113, "molpcba": 6144, "hep10k": 2048}
-        num_graphs = args.graphs if args.graphs is not None else official[
-            args.dataset
-        ]
+        # Pass --graphs 43793 / 10000 for a full-count scan-stacked run.
+        default_stream_graphs = {
+            "molhiv": 4113, "molpcba": 6144, "hep10k": 2048,
+        }
+        num_graphs = (
+            args.graphs if args.graphs is not None
+            else default_stream_graphs[args.dataset]
+        )
         graphs = registry.apply_transforms(
             spec,
             synthetic_dataset(args.dataset, seed=0, with_eigen=spec.needs_eigen,
@@ -218,6 +222,17 @@ def main() -> None:
                 bf16=not args.f32,
             )
 
+        # Defended roofline ratio (VERDICT r4 #6): stage MXU utilization ÷
+        # the measured shape-achievable ceiling for this model's stage
+        # shape (roofline.SHAPE_CEILINGS, from bench/matmul_shapes runs).
+        # BASELINE.md's target is ≥ 0.40 on THIS number.
+        if spmm:
+            from flowgnn_tpu.bench.roofline import SHAPE_CEILINGS
+
+            ceiling = SHAPE_CEILINGS.get(name)
+            if ceiling:
+                spmm["pct_of_shape_ceiling"] = spmm["mxu_util"] / ceiling
+
         results[name] = {
             "us_per_graph": us_per_graph,
             "us_per_graph_avg": avg / total_graphs * 1e6,
@@ -237,6 +252,11 @@ def main() -> None:
             f"{spmm['roofline_frac'] * 100:.0f}% of its roofline"
             if spmm else ""
         )
+        if spmm and "pct_of_shape_ceiling" in spmm:
+            spmm_txt += (
+                f" / {spmm['pct_of_shape_ceiling'] * 100:.0f}% of shape "
+                "ceiling"
+            )
         print(
             f"# {name}: {us_per_graph:.2f} us/graph best "
             f"(avg {results[name]['us_per_graph_avg']:.2f}, "
@@ -254,16 +274,19 @@ def main() -> None:
 
     for name in names:
         r = results[name]
-        print(
-            json.dumps(
-                {
-                    "metric": f"{name}_{args.dataset}_synth_us_per_graph",
-                    "value": round(r["us_per_graph"], 3),
-                    "unit": "us/graph",
-                    "vs_baseline": round(r["vs_baseline"], 3),
-                }
+        rec = {
+            "metric": f"{name}_{args.dataset}_synth_us_per_graph",
+            "value": round(r["us_per_graph"], 3),
+            "unit": "us/graph",
+            "vs_baseline": round(r["vs_baseline"], 3),
+        }
+        if "spmm_pct_of_shape_ceiling" in r:
+            # The defended BASELINE.md ratio (≥0.40 target): stage MXU ÷
+            # measured shape-achievable ceiling (VERDICT r4 #6).
+            rec["spmm_pct_of_shape_ceiling"] = round(
+                r["spmm_pct_of_shape_ceiling"], 3
             )
-        )
+        print(json.dumps(rec))
     if len(names) > 1:
         # Aggregate LAST line (the driver parses the final JSON line): the
         # geometric-mean speedup over the U50 across all models, with the

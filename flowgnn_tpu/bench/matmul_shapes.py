@@ -34,6 +34,15 @@ SHAPES = [
     ("glue [256,64]@[64,136]", 256, 64, 136, 5, 128, "bf16"),
     ("fat anchor [1024,1024]@[1024,256]", 1024, 1024, 256, 5, 48, "bf16"),
     ("fat anchor int8", 1024, 1024, 256, 5, 48, "int8"),
+    # Round-5 stage shapes (SHAPE_CEILINGS in roofline.py): the ELL
+    # gather/scatter at GIN-VN's W256/B640, the slot stage's per-slot
+    # [W, W] @ [W, 128] at the W256 (gat/pna) and W384 (dgn) defaults,
+    # and the paired-GAT shapes (two-hot K=2W gather; K=128 glue).
+    ("gin-vn gather/scatter [640,256]@[256,128]", 640, 256, 128, 10, 128, "bf16"),
+    ("slot-stage W256 [256,256]@[256,128]", 256, 256, 128, 10, 128, "bf16"),
+    ("slot-stage W384 [384,384]@[384,128]", 384, 384, 128, 10, 96, "bf16"),
+    ("gat pairs two-hot [896,512]@[512,128]", 896, 512, 128, 5, 64, "bf16"),
+    ("gat pairs glue [256,128]@[128,256]", 256, 128, 256, 5, 128, "bf16"),
 ]
 
 

@@ -56,7 +56,17 @@ def time_stream(spec, jparams, batches, prec, reps: int, trials: int):
         groups.setdefault(batch_signature(batch), []).append(batch)
     progs = []
     for bs in groups.values():
-        if len(bs) > STACK_THRESHOLD:
+        # Spill-carrying layouts read VALUES of their static metadata at
+        # trace time (spill_segment_sum's T = spill_blk_window.max();
+        # spill_gather's window count) — under a scan the stacked leaves
+        # become tracers AND those statics are per-bucket, so stacking
+        # them is both a crash and semantically wrong (ADVICE r4). Keep
+        # spill buckets unrolled; no-spill uniform buckets (the molpcba
+        # full-dataset protocol) stack.
+        spilly = any(
+            k in bs[0] for k in ("spill_blk_window", "spill_gblk_src")
+        )
+        if len(bs) > STACK_THRESHOLD and not spilly:
             progs.append(
                 ("scan", {k: np.stack([b[k] for b in bs]) for k in bs[0]})
             )

@@ -25,6 +25,27 @@ class ChipSpec:
 
 V5E = ChipSpec()
 
+# Shape-achievable MXU ceilings (fraction of nominal bf16 peak) for each
+# model's SpMM-stage one-hot matmul shape, measured on the chip by
+# ``python -m flowgnn_tpu.bench.matmul_shapes`` (pure chained matmuls at
+# exactly the stage shapes — see BASELINE.md "SpMM roofline target,
+# re-derived"). BASELINE.md's defended target is stage MXU utilization
+# ≥ 40% of THESE ceilings; bench.py divides spmm mxu_util by this value
+# so the driver artifact carries the defended ratio directly (VERDICT r4
+# #6). Keys match the stage benchmark's shapes: ELL models at their
+# (block, window); slot models at the per-slot [W, W] @ [W, 128] shape
+# measure_slot_stage drives.
+# Values: one round-5 reps=1000 session (floor share ≤16%/row, best-of-3;
+# /tmp-independent record in BENCH.md "shape ceilings, round 5").
+SHAPE_CEILINGS: dict[str, float] = {
+    "gin": 0.800,     # [896,384]@[384,128] — 157.5 TF/s
+    "gcn": 0.800,     # same geometry as gin
+    "gin-vn": 0.737,  # [640,256]@[256,128] — 145.1 TF/s
+    "gat": 0.437,     # slot-stage W256 [256,256]@[256,128] — 86.1 TF/s
+    "pna": 0.437,     # same stage shape as gat (W256)
+    "dgn": 0.690,     # slot-stage W384 [384,384]@[384,128] — 136.0 TF/s
+}
+
 
 @dataclasses.dataclass
 class Cost:

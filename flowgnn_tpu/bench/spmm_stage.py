@@ -23,6 +23,17 @@ import numpy as np
 from .roofline import V5E, Cost
 
 
+def _spread(n: int, k: int = 4) -> list[int]:
+    """Indices of up to ``k`` buckets spread across the stream (first,
+    interior, LAST) instead of the first k in pack order — the trailing
+    partially-filled bucket was systematically excluded before (ADVICE
+    r4), biasing utilization ratios upward. The sampled indices ride the
+    result record (``sampled_buckets``)."""
+    if n <= k:
+        return list(range(n))
+    return sorted({round(i * (n - 1) / (k - 1)) for i in range(k)})
+
+
 def measure_spmm_stage(
     batches: list[dict],
     prec,
@@ -44,7 +55,8 @@ def measure_spmm_stage(
     # The reported numbers are RATIOS (utilization, roofline fraction) —
     # stream-size independent — so long streams are measured on a
     # representative bucket subset instead of unrolling 30+ bodies.
-    batches = batches[:4]
+    sampled = _spread(len(batches))
+    batches = [batches[i] for i in sampled]
     datas = []
     lanes = real_edges = rows = 0
     for b in batches:
@@ -89,8 +101,10 @@ def measure_spmm_stage(
     b_el = 2 if bf16 else 4
     # Kernel-as-written arithmetic: gather + scatter one-hot matmuls.
     onehot_flops = layers * 4.0 * lanes * w * dim
-    return _finish(onehot_flops, real_edges, lanes, rows, best, bf16,
-                   layers, dim, b_el)
+    out = _finish(onehot_flops, real_edges, lanes, rows, best, bf16,
+                  layers, dim, b_el)
+    out["sampled_buckets"] = sampled
+    return out
 
 
 def measure_slot_stage(
@@ -111,7 +125,8 @@ def measure_slot_stage(
     from ..ops.pallas.local_layer import pna_local_stats_ell
 
     dt = prec.compute_dtype
-    batches = batches[:4]  # ratios are stream-size independent (see above)
+    sampled = _spread(len(batches))  # see measure_spmm_stage
+    batches = [batches[i] for i in sampled]
     datas = []
     lanes = real_edges = rows = 0
     for b in batches:
@@ -147,8 +162,10 @@ def measure_slot_stage(
 
     b_el = 2 if bf16 else 4
     onehot_flops = layers * 2.0 * lanes * w * dim  # one stacked gather
-    return _finish(onehot_flops, real_edges, lanes, rows, best, bf16,
-                   layers, dim, b_el)
+    out = _finish(onehot_flops, real_edges, lanes, rows, best, bf16,
+                  layers, dim, b_el)
+    out["sampled_buckets"] = sampled
+    return out
 
 
 def _finish(onehot_flops, real_edges, lanes, rows, best, bf16, layers, dim,

@@ -243,8 +243,10 @@ def forward(
         dense = _os.environ.get("FLOWGNN_GAT_DENSE", "0") == "1"
         # Two-window lane packing (gat_local_model_pairs): two 64-lane
         # windows share each 128-lane tile; scores recomputed off-payload.
+        # DEFAULT since round 5 — measured 0.73 vs 0.95 µs/graph (24.1× vs
+        # 18.5× U50) on interleaved whole-dataset molhiv runs (BENCH.md).
         pairs = (
-            _os.environ.get("FLOWGNN_GAT_PAIRS", "0") == "1" and not dense
+            _os.environ.get("FLOWGNN_GAT_PAIRS", "1") == "1" and not dense
         )
         model_kernel = gat_local_model_dense if dense else gat_local_model_slots
 

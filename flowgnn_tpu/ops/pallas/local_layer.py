@@ -2147,7 +2147,8 @@ def gat_local_model_pairs(
     d = hd // num_heads
     nh = num_heads
     pay2 = 2 * hd  # 128 paired payload lanes
-    num_windows = -(-n // window)
+    orig_windows = -(-n // window)
+    num_windows = orig_windows
     if num_windows % 2:
         num_windows += 1  # phantom all-pad window completes the last pair
     rows = num_windows * window
@@ -2320,7 +2321,10 @@ def gat_local_model_pairs(
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
     )(pairstack, xcat, glue2_w, ab_w, pred2_w)
-    return out
+    # Drop the phantom window's rows: the caller's pool-row table (and the
+    # halo path's tiled all_gather of per-shard partials) indexes exactly
+    # orig_windows·gmax rows per shard.
+    return out[: orig_windows * gmax]
 
 
 def gat_local_model_dense(

@@ -229,3 +229,60 @@ def test_as_batches_uniform_and_scan_stack():
         assert 0 < best <= avg * (1 + 1e-9)
     finally:
         proto.STACK_THRESHOLD = old
+
+
+def test_scan_stack_local_ell_and_spill_fallback(monkeypatch):
+    """ADVICE r4: the scan-stacked long-stream leg over BLOCKED layouts.
+
+    (a) A no-spill window-aligned local_ell stream (the molpcba
+    full-dataset protocol's layout) scan-stacks and runs; (b) a
+    spill-carrying stream must take the unrolled fallback — its static
+    spill metadata (spill_blk_window.max()) is a concrete-value read that
+    a scan would turn into a tracer crash, and T is per-bucket so
+    stacking would be wrong anyway."""
+    monkeypatch.setenv("FLOWGNN_PALLAS_INTERPRET", "1")
+    import os
+
+    import flowgnn_tpu.bench.protocol as proto
+    from flowgnn_tpu.core.graphs import pack_graphs_aligned
+    from flowgnn_tpu.core.numerics import FLOAT32
+    from flowgnn_tpu.core.synthetic import synthetic_molhiv
+    from flowgnn_tpu.models import registry
+    from flowgnn_tpu.models.base import as_batches_uniform, prepare_params
+
+    spec = registry.get("gin")
+    model_dir = os.path.join("/root/reference", spec.reference_dir)
+    if not os.path.isdir(model_dir):
+        pytest.skip("reference weights not mounted")
+    params = prepare_params(spec.loader(model_dir), FLOAT32)
+    graphs = synthetic_molhiv(16, seed=3)
+    caps = dict(node_capacity=511, edge_capacity=2048, graph_capacity=8)
+
+    # (a) no-spill aligned stream → scan path engages and runs.
+    buckets = [
+        pack_graphs_aligned(graphs[i : i + 8], window=128, **caps)
+        for i in (0, 8)
+    ]
+    batches = as_batches_uniform(buckets, blocked="local_ell", window=128,
+                                 block=384)
+    assert all("spill_blk_window" not in b for b in batches)
+    old = proto.STACK_THRESHOLD
+    try:
+        proto.STACK_THRESHOLD = 1
+        best, _ = proto.time_stream(spec, params, batches, FLOAT32,
+                                    reps=1, trials=1)
+        assert best > 0
+        # (b) spilling stream (window 64 < some graph sizes): the guard
+        # must route it through the unrolled path without crashing.
+        sp_buckets = [
+            pack_graphs_aligned(graphs[i : i + 8], window=64, **caps)
+            for i in (0, 8)
+        ]
+        sp = as_batches_uniform(sp_buckets, blocked="local_ell", window=64,
+                                block=192)
+        assert any("spill_blk_window" in b for b in sp)
+        best, _ = proto.time_stream(spec, params, sp, FLOAT32,
+                                    reps=1, trials=1)
+        assert best > 0
+    finally:
+        proto.STACK_THRESHOLD = old
