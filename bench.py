@@ -229,7 +229,7 @@ def main() -> None:
         if spmm:
             from flowgnn_tpu.bench.roofline import SHAPE_CEILINGS
 
-            ceiling = SHAPE_CEILINGS.get(name)
+            ceiling = SHAPE_CEILINGS.get(name, {}).get(ell_w)
             if ceiling:
                 spmm["pct_of_shape_ceiling"] = spmm["mxu_util"] / ceiling
 

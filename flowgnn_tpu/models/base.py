@@ -53,7 +53,13 @@ ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
     # pre-flip bump.
     "gin-vn": (256, 640),
     "gcn": (384, 896),  # W384 sweep: 1.75 vs 1.96 @ (256,640)
-    "gat": (256, 1024),
+    # Round-5 re-sweep UNDER THE PAIRS KERNEL (two windows per grid step
+    # fully use the 128 lanes, so taller windows amortize better than the
+    # unpaired optimum W256): whole-dataset molhiv W384 0.659/0.660 vs
+    # W256 0.729/0.729 vs W512 0.797 µs/graph — W384 wins by 9.6%
+    # consistently (26.7x vs 24.1x). choose_window still bumps hep10k to
+    # (512, 2048).
+    "gat": (384, 1536),
     # Round-4 re-sweep: W384 beats W256 by ~1.3% consistently (0.507/
     # 0.509 vs 0.514/0.515 us/graph across interleaved whole-dataset
     # runs; same direction at the 1028-graph protocol). choose_window

@@ -68,6 +68,44 @@ def halo_shape(
     return HaloShape(k, s, ec, halo_cap)
 
 
+def halo_batches_uniform(
+    buckets, k: int, blocked: str | None = None, **kw
+) -> list[dict]:
+    """``build_halo_batch`` over a bucket stream, reconciling the
+    content-derived static layout parameters (slot depth, ELL k, spill
+    lanes) to stream-wide maxima so every bucket shares one program
+    signature — the halo analog of ``models.base.as_batches_uniform`` and
+    the prerequisite for ``inference.stack_halo_buckets`` over a
+    data-axis stream of heterogeneous buckets. Window-aligned streams
+    (nothing spills anywhere) pin only the slot/ELL depth, so the
+    whole-model megakernels stay engaged per shard."""
+    hbs = [build_halo_batch(b, k=k, blocked=blocked, **kw) for b in buckets]
+    sigs = {
+        tuple(sorted((n, v.shape, str(v.dtype)) for n, v in hb.items()))
+        for hb in hbs
+    }
+    if len(hbs) < 2 or len(sigs) == 1:
+        return hbs
+    pins: dict = {}
+    if blocked == "local_slots":
+        pins["slots"] = max(hb["slot_geom"].shape[-1] for hb in hbs)
+        pins["spill_lanes"] = max(
+            hb["slot_spill"].shape[-1] for hb in hbs
+        )
+    elif blocked == "local_ell":
+        pins["k_blocks"] = max(hb["loc_ell"].shape[-1] for hb in hbs)
+        pins["spill_lanes"] = max(
+            hb["senders"].shape[-1] - hb["loc_ulocal"].shape[-1]
+            for hb in hbs
+        )
+    if not pins:
+        return hbs
+    return [
+        build_halo_batch(b, k=k, blocked=blocked, **pins, **kw)
+        for b in buckets
+    ]
+
+
 def build_halo_batch(
     packed: PackedGraphs,
     k: int,
@@ -77,6 +115,8 @@ def build_halo_batch(
     blocked: str | None = None,
     k_blocks: int | None = None,
     spill_cap: int = 4096,
+    slots: int | None = None,
+    spill_lanes: int | None = None,
 ) -> dict:
     """PackedGraphs → per-chip stacked batch dict (leading axis k).
 
@@ -210,6 +250,13 @@ def build_halo_batch(
         # the whole-model megakernels permanently disengaged per shard.
         sp_used = max(lb.spill_count for lb in lbs)
         sp_used = -(-sp_used // 8) * 8 if sp_used else 0
+        if spill_lanes is not None:
+            # Pinned spill width (stream uniformization — see
+            # halo_batches_uniform): must cover this bucket's own tail.
+            assert spill_lanes >= sp_used, (
+                f"pinned spill_lanes {spill_lanes} < required {sp_used}"
+            )
+            sp_used = spill_lanes
         sh_send = np.zeros((k, p_lanes + sp_used), np.int32)
         sh_recv = np.full((k, p_lanes + sp_used), s_rows, np.int32)
         sh_attr = np.zeros(
@@ -261,7 +308,7 @@ def build_halo_batch(
                             r_loc[loc], minlength=s_rows + 1
                         ).max()),
                     )
-            s_slots = max(1, min(s_needed, PALLAS_SLOTS))
+            s_slots = slots or max(1, min(s_needed, PALLAS_SLOTS))
             slot_u, slot_sp, slot_cnt = [], [], []
             for ei, s_ext, r_loc in per_chip:
                 us, sp, cnt = build_local_slots(
@@ -276,6 +323,11 @@ def build_halo_batch(
             # the slot megakernels can engage per shard.
             sp_used = max(slot_cnt)
             sp_used = -(-sp_used // 8) * 8 if sp_used else 0
+            if spill_lanes is not None:
+                assert spill_lanes >= sp_used, (
+                    f"pinned spill_lanes {spill_lanes} < required {sp_used}"
+                )
+                sp_used = spill_lanes
             extras["slot_src"] = np.stack(slot_u)
             extras["slot_spill"] = np.stack([sp[:sp_used] for sp in slot_sp])
             extras["slot_spill_mask"] = np.stack(

@@ -337,3 +337,40 @@ def test_halo_local_multiwindow_shard(name, _interp, graphs16, reference_root):
     kk = packed.num_graphs
     assert_allclose(got[:kk], expected[:kk], rtol=1e-5, atol=1e-5,
                     msg=f"{name} halo multi-window shard")
+
+
+def test_halo_batches_uniform_slot_stream(graphs16, reference_root, _interp):
+    """A data-axis stream of heterogeneous buckets must reconcile to ONE
+    halo-batch signature (stack_halo_buckets prerequisite) while staying
+    equivalent per bucket — the halo analog of as_batches_uniform
+    (used by dryrun_multichip's six-model megakernel rung)."""
+    from flowgnn_tpu.core.graphs import pack_graphs_aligned
+    from flowgnn_tpu.parallel.halo import halo_batches_uniform
+
+    spec = registry.get("gat")
+    params = spec.loader(os.path.join(reference_root, "GAT"))
+    jparams = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:8])
+    caps = dict(node_capacity=255, edge_capacity=512, graph_capacity=4)
+    buckets = [
+        pack_graphs_aligned(tg[2 * i : 2 * i + 2], window=128, **caps)
+        for i in range(4)
+    ]
+    hbs = halo_batches_uniform(
+        buckets, k=2, edge_slack=8.0, blocked="local_slots"
+    )
+    sigs = {
+        tuple(sorted((n, v.shape, str(v.dtype)) for n, v in hb.items()))
+        for hb in hbs
+    }
+    assert len(sigs) == 1
+    stacked = stack_halo_buckets(hbs)
+    mesh = make_mesh(data=4, edge=2)
+    fwd = halo_forward(spec.forward, mesh, FLOAT32)
+    out = np.asarray(fwd(jparams, stacked))
+    single = jax.jit(lambda p, b: spec.forward(p, b, FLOAT32))
+    for i, b in enumerate(buckets):
+        expect = np.asarray(single(jparams, as_batch(b)))
+        kk = b.num_graphs
+        assert_allclose(out[i][:kk], expect[:kk], rtol=1e-5, atol=1e-5,
+                        msg=f"uniform halo bucket {i}")
