@@ -51,10 +51,12 @@ def main() -> None:
                          "FLOWGNN_ELL_WPS)")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--layout", default=None,
-                    choices=["plain", "blocked", "local"],
+                    choices=["plain", "blocked", "local", "local-ell",
+                             "local-slots"],
                     help="edge layout: plain XLA scatter, Pallas windowed "
                          "scatter, or the graph-local fused kernels "
-                         "(default for all six models)")
+                         "(default for all six models; local-ell / "
+                         "local-slots force one local flavor for A/B runs)")
     ap.add_argument("--node-cap", type=int, default=32768)
     ap.add_argument("--edge-cap", type=int, default=None,
                     help="bucket edge capacity (default: auto from the "
@@ -168,18 +170,43 @@ def main() -> None:
                 edge_capacity=edge_cap,
                 graph_capacity=args.graph_cap,
                 with_eigen=spec.needs_eigen,
-                align_window=ell_w if layout == "local" else None,
+                align_window=(
+                    ell_w
+                    if layout in ("local", "local-ell", "local-slots")
+                    else None
+                ),
             )
         )
+        # Layout policy: slot models always; the edge-featured ELL models
+        # (gin/gcn/gin-vn) ALSO take the dest-major slot layout when the
+        # stream fits their window (round 5 — no scatter matmul, Σc
+        # compacted lanes; measured faster on molhiv/molpcba, BENCH.md).
+        # Streams with window-exceeding graphs (hep10k) keep ELL + spill
+        # tail, which measured faster there; a slot stream that still
+        # spills (in-degree overflow) falls back to ELL below.
+        slot_fits = max(g.num_nodes for g in graphs) <= ell_w
         blocked = {
             "plain": False, "blocked": True,
-            "local": "local_slots" if name in ("pna", "gat", "dgn") else "local_ell",
+            "local-ell": "local_ell", "local-slots": "local_slots",
+            "local": "local_slots"
+            if (name in ("pna", "gat", "dgn") or slot_fits)
+            else "local_ell",
         }[layout]
         from flowgnn_tpu.models.base import as_batches_uniform
 
         batches = as_batches_uniform(
             buckets, blocked=blocked, window=ell_w, block=ell_b
         )
+        if (
+            layout == "local"
+            and blocked == "local_slots"
+            and name in ("gin", "gcn", "gin-vn")
+            and any(b["slot_spill"].shape[-1] > 0 for b in batches)
+        ):
+            blocked = "local_ell"
+            batches = as_batches_uniform(
+                buckets, blocked=blocked, window=ell_w, block=ell_b
+            )
         total_graphs = sum(b.num_graphs for b in buckets)
         total_edges = sum(int(b.n_edge[:-1].sum()) for b in buckets)
 
@@ -227,9 +254,15 @@ def main() -> None:
         # shape (roofline.SHAPE_CEILINGS, from bench/matmul_shapes runs).
         # BASELINE.md's target is ≥ 0.40 on THIS number.
         if spmm:
-            from flowgnn_tpu.bench.roofline import SHAPE_CEILINGS
+            from flowgnn_tpu.bench.roofline import (
+                ELL_STAGE_CEILINGS, SLOT_STAGE_CEILINGS,
+            )
 
-            ceiling = SHAPE_CEILINGS.get(name, {}).get(ell_w)
+            ceiling = (
+                SLOT_STAGE_CEILINGS.get(ell_w)
+                if "slot_src" in batches[0]
+                else ELL_STAGE_CEILINGS.get(name, {}).get(ell_w)
+            )
             if ceiling:
                 spmm["pct_of_shape_ceiling"] = spmm["mxu_util"] / ceiling
 

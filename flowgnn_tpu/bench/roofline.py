@@ -35,19 +35,21 @@ V5E = ChipSpec()
 # #6). Keys match the stage benchmark's shapes: ELL models at their
 # (block, window); slot models at the per-slot [W, W] @ [W, 128] shape
 # measure_slot_stage drives.
-# Keyed {model: {window: ceiling}} because the stage shape follows the
-# stream's window (choose_window bumps hep10k to W512). Values: one
-# round-5 reps=1000 session (floor share ≤16%/row, best-of-3;
-# /tmp-independent record in BENCH.md "shape ceilings, round 5"). The
-# slot-stage entries share one [W, W] @ [W, 128] shape across the slot
-# models; ELL entries are per (block, window) geometry.
-SHAPE_CEILINGS: dict[str, dict[int, float]] = {
+# Shape-achievable MXU ceilings (fraction of nominal bf16 peak), measured
+# by one round-5 ``bench.matmul_shapes --reps 1000`` session (floor share
+# ≤16%/row, best-of-3; /tmp-independent record in BENCH.md "shape
+# ceilings, round 5"). Keyed by the STAGE the spmm bench actually runs:
+# the slot stage's per-slot [W, W] @ [W, 128] shape depends only on the
+# window; the ELL stage's [block, W] @ [W, 128] on the model geometry.
+SLOT_STAGE_CEILINGS: dict[int, float] = {
+    256: 0.437,  # [256,256]@[256,128] — 86.1 TF/s
+    384: 0.690,  # [384,384]@[384,128] — 136.0 TF/s
+    512: 0.868,  # [512,512]@[512,128] — 171.0 TF/s
+}
+ELL_STAGE_CEILINGS: dict[str, dict[int, float]] = {
     "gin": {384: 0.800},     # [896,384]@[384,128] — 157.5 TF/s
     "gcn": {384: 0.800},     # same geometry as gin
     "gin-vn": {256: 0.737},  # [640,256]@[256,128] — 145.1 TF/s
-    "gat": {256: 0.437, 384: 0.690, 512: 0.868},
-    "pna": {256: 0.437, 512: 0.868},  # [512,512]@[512,128] — 171.0 TF/s
-    "dgn": {384: 0.690, 512: 0.868},  # [384,384]@[384,128] — 136.0 TF/s
 }
 
 

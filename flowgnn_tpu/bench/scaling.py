@@ -158,6 +158,18 @@ def run_scaling(
         results.append(row)
     if results:
         base = results[0]["edges_per_s"] / results[0]["devices"]
+        cores = os.cpu_count() or 1
+        fake = jax.default_backend() == "cpu"
         for r in results:
             r["efficiency"] = r["edges_per_s"] / (r["devices"] * base)
+            # Fake-backend confound, COMPUTED (VERDICT r4 #8): k virtual
+            # devices share the host's physical cores, so total work
+            # growing ∝k (weak) or parallelism beyond the cores (strong)
+            # caps raw efficiency at cores/k. The core-adjusted column
+            # divides out that ceiling (= efficiency · k/cores for
+            # k > cores); on real multi-chip hardware it equals the raw
+            # column.
+            r["efficiency_core_adjusted"] = r["efficiency"] * (
+                max(1.0, r["devices"] / cores) if fake else 1.0
+            )
     return results

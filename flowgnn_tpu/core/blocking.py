@@ -381,11 +381,14 @@ def build_local_slots(
 
     Returns (slot_src [NW·W, S] int32 — row v_padded's s-th in-edge source
     local index, sentinel ``window`` when empty —, spill [spill_capacity]
-    int32, spill_count int). The per-dest-row orientation lets the kernels
-    ride the table as extra lanes of the feature tile (exact small integers
-    in the tile's dtype), so it costs NO extra DMA — a [R, 1]-shaped index
-    input would be padded to full (8,128) tiles by the DMA engine, a
-    measured ~128x inflation that dominated the slot kernels' runtime.
+    int32, spill_count int, slot_edge [NW·W, S] int32 — the ORIGINAL edge
+    index each slot holds, −1 when empty, so edge-featured models can lay
+    their bond attrs slot-aligned at pack time). The per-dest-row
+    orientation lets the kernels ride the table as extra lanes of the
+    feature tile (exact small integers in the tile's dtype), so it costs
+    NO extra DMA — a [R, 1]-shaped index input would be padded to full
+    (8,128) tiles by the DMA engine, a measured ~128x inflation that
+    dominated the slot kernels' runtime.
     """
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
@@ -394,27 +397,34 @@ def build_local_slots(
     num_windows = -(-num_nodes // window)
 
     slot_src = np.full((num_windows * window, slots), window, np.int32)
-    counts = np.zeros(num_nodes, np.int32)
-    overflow = []
+    slot_edge = np.full((num_windows * window, slots), -1, np.int32)
+    # Vectorized slot assignment (the per-edge Python loop dominated
+    # bucket pack time — 75 µs/graph — once the host application
+    # pipelined, round 5): each local edge's slot is its RANK among its
+    # receiver's local in-edges in edge order. A stable sort by receiver
+    # keeps ascending edge order within each group, so rank = position −
+    # first-occurrence index; identical output to the original loop.
     loc = np.nonzero(local_mask)[0]
-    for e in loc:
-        v = receivers[e]
-        c = counts[v]
-        if c >= slots:
-            overflow.append(e)
-            continue
-        counts[v] = c + 1
-        w = v // window
-        slot_src[v, c] = senders[e] - w * window
+    order = loc[np.argsort(receivers[loc], kind="stable")]
+    rv = receivers[order]
+    rank = np.arange(rv.size) - np.searchsorted(rv, rv, side="left")
+    ok = rank < slots
+    slot_src[rv[ok], rank[ok]] = (
+        senders[order[ok]] - (rv[ok] // window) * window
+    )
+    slot_edge[rv[ok], rank[ok]] = order[ok]
+    overflow = np.sort(order[~ok])  # loop order = ascending edge index
 
     spill_idx = np.concatenate(
         [np.nonzero(real & ~local_mask)[0].astype(np.int32),
          np.asarray(overflow, np.int32)]
-    ) if (overflow or (real & ~local_mask).any()) else np.zeros(0, np.int32)
+    ) if (overflow.size or (real & ~local_mask).any()) else np.zeros(
+        0, np.int32
+    )
     if spill_capacity is None:  # auto-size like build_local_blocks_ell
         spill_capacity = _auto_spill_capacity(spill_idx.size)
     if spill_idx.size > spill_capacity:
         raise ValueError(f"spill capacity {spill_capacity} < {spill_idx.size}")
     spill = np.zeros(spill_capacity, np.int32)
     spill[: spill_idx.size] = spill_idx
-    return slot_src, spill, int(spill_idx.size)
+    return slot_src, spill, int(spill_idx.size), slot_edge

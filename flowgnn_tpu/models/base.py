@@ -44,14 +44,13 @@ ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
     "gin": (384, 896),  # W384 sweep: 1.75 vs 1.90 @ (256,640) / 1.81 @ (512,1280)
     # Analytic VN: the star edges left the stream, so gin-vn's density is
     # GIN's (the old (256,1152) optimum was tuned for the VN-star stream).
-    # Round-4 re-sweep: W256 beats W384 by a consistent 2.2% at the
-    # whole-dataset protocol (0.893/0.893 vs 0.913/0.913 us/graph,
-    # interleaved pairs; same direction at 1028 graphs) — the VN
-    # column's extra epilogue work amortizes better over more, shorter
-    # windows than plain GIN's, which stays W384 by the same sweep.
+    # Round-5 re-flip UNDER THE SLOT LAYOUT (the round-4 W256 optimum was
+    # the ELL kernel's): whole-dataset molhiv slot W384 0.787 vs W256
+    # 0.843 µs/graph (71.4x vs 66.7x; confirmed by an interleaved pair,
+    # BENCH.md) — the slot gather prefers GIN's taller windows.
     # choose_window still bumps hep10k to (512, 1280), identical to the
     # pre-flip bump.
-    "gin-vn": (256, 640),
+    "gin-vn": (384, 960),
     "gcn": (384, 896),  # W384 sweep: 1.75 vs 1.96 @ (256,640)
     # Round-5 re-sweep UNDER THE PAIRS KERNEL (two windows per grid step
     # fully use the 128 lanes, so taller windows amortize better than the
@@ -308,17 +307,17 @@ def _attach_spill_blocks(
         ul[valid] = np.asarray(sp_send)[perm[valid]] % w
         src_ids = np.array([b[1] for b in blocks], np.int32)
         # spill_gather slices h to its FULL windows (padding h costs a
-        # full [N, D] copy per layer); real senders are < n−1 so they
-        # can never live in a partial trailing window for our capacities.
-        assert int(src_ids.max(initial=0)) < n // w, (
-            "spill sender in the partial tail window — pack capacity "
-            "must be a multiple of the spill scatter window plus one"
-        )
-        batch["spill_gblk_src"] = src_ids
-        batch["spill_gblk_onehot"] = (
-            ul.reshape(nb, PALLAS_BLOCK)[:, :, None]
-            == np.arange(w)[None, None, :]
-        ).astype(ml_dtypes.bfloat16)
+        # full [N, D] copy per layer). A sender in the partial trailing
+        # window (tiny buckets where n < the scatter window, or capacity
+        # not a window multiple) cannot be served by full-window slices —
+        # skip the gather-side layout and let spill_gather fall back to
+        # the per-row take (the scatter-side blocked layout still rides).
+        if int(src_ids.max(initial=0)) < n // w:
+            batch["spill_gblk_src"] = src_ids
+            batch["spill_gblk_onehot"] = (
+                ul.reshape(nb, PALLAS_BLOCK)[:, :, None]
+                == np.arange(w)[None, None, :]
+            ).astype(ml_dtypes.bfloat16)
     return perm, valid
 
 
@@ -491,7 +490,7 @@ def as_batch(
             np.bincount(receivers[loc], minlength=n).max()
         ) if loc.any() else 1
         s_slots = slots or max(1, min(s_needed, PALLAS_SLOTS))
-        slot_src, spill, count = build_local_slots(
+        slot_src, spill, count, slot_edge = build_local_slots(
             senders, receivers, n, window=w, slots=s_slots,
             spill_capacity=spill_capacity,
         )
@@ -543,6 +542,28 @@ def as_batch(
             # static when the batch is a jit argument.
             for k in range(s_slots):
                 batch[f"slot_pcap_{k}"] = np.zeros((int(caps[k]), 1), np.int8)
+            # Prefix-aligned per-lane metadata for the edge-featured slot
+            # megakernels (GIN/GCN/GIN-VN — round 5): one small-float
+            # [NW·Σc, 4] array of (src − W/2, bond attrs + offsets), the
+            # slot analog of _ell_meta (indices recentered so bf16 stays
+            # exact through W=512; empty lanes carry the src sentinel and
+            # attr −1, and the kernels mask messages by src validity).
+            half = w // 2 if w <= 512 else 0
+            mdt = ml_dtypes.bfloat16 if w <= 512 else np.float32
+            meta = np.zeros((nw, m_rows, 4), np.float32)
+            meta[:, :, 0] = pstack - half
+            meta[:, :, 1:] = -1.0
+            ea_off = np.asarray(batch["edge_attr"]) + np.asarray(
+                BOND_FEATURE_OFFSETS
+            )[None, :]
+            off = 0
+            for k in range(s_slots):
+                c = int(caps[k])
+                se = slot_edge.reshape(nw, w, s_slots)[:, :c, k]
+                vmask = se >= 0
+                meta[:, off : off + c, 1:][vmask] = ea_off[se[vmask]]
+                off += c
+            batch["slot_meta"] = meta.reshape(-1, 4).astype(mdt)
         batch["slot_spill"] = spill
         batch["slot_spill_mask"] = (
             np.arange(spill.shape[0]) < count

@@ -110,6 +110,39 @@ def forward(
     h = atom_embed(params["node_embedding"], batch["node_feat"], prec)
     inter = [h]
     vn = "vn_mask" in batch  # analytic virtual nodes (GIN-VN)
+    # Dest-major slot megakernel (round 5, VERDICT r4 #3): no scatter
+    # matmul, compacted prefix lanes — the bond embeddings ride the
+    # slot-aligned ``slot_meta`` built by base.as_batch. Single-chip,
+    # no-spill prefix buckets only; everything else falls through to the
+    # ELL/plain paths below.
+    if (
+        "slot_meta" in batch and "pool_gl" in batch and prec.fixed is None
+        and not return_intermediates and edge_axis is None
+        and batch["slot_spill"].shape[-1] == 0
+    ):
+        from ..ops.pallas.local_layer import gin_local_model_slots
+
+        dt = prec.compute_dtype
+        d = h.shape[1]
+        hid = params["mlp1_w"].shape[1]
+        window, n_slots = (int(x) for x in batch["slot_geom"].shape[-2:])
+        pool = gin_local_model_slots(
+            jnp.asarray(batch["slot_meta"]), h,
+            jnp.asarray(batch["pool_gl"]),
+            params["edge_embedding"].reshape(-1, d).astype(dt),
+            params["mlp1_w"].reshape(L * hid, d),
+            params["mlp1_b"],
+            params["mlp2_w"].reshape(L * d, hid),
+            params["mlp2_b"],
+            (1.0 + eps).astype(jnp.float32).reshape(L, 1),
+            params["pred_w"].T.astype(dt),
+            window, n_slots, L, _base.POOL_GMAX,
+            prefix_caps=_base.slot_prefix_caps(batch, n_slots),
+            vn_col=(
+                jnp.asarray(batch["vn_mask"]).astype(dt) if vn else None
+            ),
+        )
+        return _base.pool_finish(pool, batch, params["pred_b"], prec)
     ell = local and "loc_ell" in batch
     if ell:
         # In-kernel edge embedding: pre-offset the bond features once

@@ -896,6 +896,323 @@ def gcn_local_model(
     return out
 
 
+def _slot_prefix_geom(prefix_caps, window: int, slots: int):
+    """(caps, offsets, total rows) of the degree-sorted prefix layout."""
+    if prefix_caps is not None:
+        caps = tuple(int(c) for c in prefix_caps)
+    else:
+        caps = tuple(window for _ in range(slots))
+    offs = tuple(int(sum(caps[:k])) for k in range(len(caps)))
+    return caps, offs, int(sum(caps))
+
+
+def _slot_accumulate(msg, caps, offs, window):
+    """Dense prefix-slice accumulation of per-lane messages into the
+    [W, D] window accumulator — the slot layout's replacement for the ELL
+    scatter matmul (dest rank r IS window row r under the degree sort)."""
+    acc = jnp.zeros((window, msg.shape[1]), jnp.float32)
+    for k, c in enumerate(caps):
+        part = msg[offs[k] : offs[k] + c]
+        if c < window:
+            part = jnp.pad(part, ((0, window - c), (0, 0)))
+        acc += part
+    return acc
+
+
+def gin_local_model_slots(
+    slot_meta: jnp.ndarray,  # [NW·Σc, 4] (src − W/2 ‖ attrs+offsets)
+    h0: jnp.ndarray,  # [n, D] embedded input features
+    pool_gl: jnp.ndarray,  # [NW·W] graph-local ids
+    ee_tables: jnp.ndarray,  # [L·13, D] stacked bond-embedding tables
+    w1_all: jnp.ndarray,  # [L·H, D]
+    b1_all: jnp.ndarray,  # [L, H]
+    w2_all: jnp.ndarray,  # [L·D, H]
+    b2_all: jnp.ndarray,  # [L, D]
+    eps_all: jnp.ndarray,  # [L, 1] f32 (1+ε per layer)
+    pred_w: jnp.ndarray,  # [D, T]
+    window: int,
+    slots: int,
+    num_layers: int,
+    gmax: int,
+    prefix_caps: tuple | None = None,
+    vn_col: jnp.ndarray | None = None,  # [n] analytic-VN flag (GIN-VN)
+) -> jnp.ndarray:
+    """GIN whole-model megakernel over the DEST-MAJOR SLOT layout.
+
+    Round-5 structural lever (VERDICT r4 #3): the ELL formulation pays a
+    gather matmul AND a transposed scatter matmul per layer over
+    block-padded lanes; the degree-sorted slot layout needs only the
+    gather — destination rank r IS window row r, so the reduction is a
+    dense prefix-slice accumulation (no scatter matmul at all) and the
+    lane count is the compacted Σc instead of the padded ELL block
+    (~2.5× fewer stage MXU FLOPs at molhiv geometry). Bond embeddings
+    ride slot-aligned lanes (``slot_meta``, base.as_batch) so the message
+    relu(h_u + ee) keeps its per-edge form
+    (GIN/src/message_passing.cc:136-146). Layer/update/finalize math is
+    identical to gin_local_model (including the analytic-VN pool stage).
+    No-spill prefix buckets only.
+    """
+    n, d = h0.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h0, ((0, pad), (0, 0))) if pad else h0
+    cols = [hp, pool_gl[:, None].astype(hp.dtype)]
+    has_vn = vn_col is not None
+    if has_vn:
+        vnp = vn_col.astype(hp.dtype)[:, None]
+        if pad:
+            vnp = jnp.pad(vnp, ((0, pad), (0, 0)))
+        cols.append(vnp)
+    hcat = jnp.concatenate(cols, axis=1)
+    caps, offs, sw = _slot_prefix_geom(prefix_caps, window, slots)
+    vocab = ee_tables.shape[0] // num_layers
+    hid = w1_all.shape[0] // num_layers
+    t_out = pred_w.shape[1]
+    cdt = h0.dtype
+    half = window // 2 if window <= 512 else 0
+
+    def kernel(meta_ref, h_ref, tab_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               eps_ref, predw_ref, out_ref):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1).astype(
+            jnp.float32
+        ) - float(half)
+        vlanes = jax.lax.broadcasted_iota(jnp.int32, (sw, vocab), 1).astype(
+            jnp.float32
+        )
+        mf = meta_ref[:].astype(jnp.float32)
+        onehot = (mf[:, 0:1] == lanes).astype(cdt)
+        valid = (mf[:, 0:1] < float(window - half)).astype(jnp.float32)
+        multihot = (
+            (mf[:, 1:2] == vlanes).astype(cdt)
+            + (mf[:, 2:3] == vlanes).astype(cdt)
+            + (mf[:, 3:4] == vlanes).astype(cdt)
+        )
+        h = h_ref[:, :d]
+        if has_vn:
+            gl = h_ref[:, d : d + 1].astype(jnp.float32)
+            vnc = h_ref[:, d + 1 : d + 2].astype(jnp.float32)
+            giota = jax.lax.broadcasted_iota(
+                jnp.int32, (window, gmax), 1
+            ).astype(jnp.float32)
+            ohg = (gl == giota).astype(cdt)
+        for l in range(num_layers):
+            ee = jnp.dot(
+                multihot,
+                tab_ref[l * vocab : (l + 1) * vocab, :],
+                preferred_element_type=jnp.float32,
+            )
+            h_u = jnp.dot(onehot, h, preferred_element_type=jnp.float32)
+            msg = jnp.maximum(h_u + ee, 0).astype(cdt) * valid
+            acc = _slot_accumulate(msg, caps, offs, window)
+            if has_vn:
+                e0 = (
+                    tab_ref[l * vocab : l * vocab + 1, :].astype(jnp.float32)
+                    + tab_ref[l * vocab + 5 : l * vocab + 6, :].astype(
+                        jnp.float32
+                    )
+                    + tab_ref[l * vocab + 11 : l * vocab + 12, :].astype(
+                        jnp.float32
+                    )
+                )
+                r = jnp.maximum(h.astype(jnp.float32) + e0, 0).astype(cdt)
+                rcat = jnp.concatenate(
+                    [
+                        (r.astype(jnp.float32) * (1.0 - vnc)).astype(cdt),
+                        (r.astype(jnp.float32) * vnc).astype(cdt),
+                    ],
+                    axis=1,
+                )
+                pooled = jax.lax.dot_general(
+                    ohg, rcat,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                back = jnp.dot(
+                    ohg.astype(jnp.float32), pooled,
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + back[:, d:] * (1.0 - vnc) + back[:, :d] * vnc
+            act = (acc + eps_ref[l, 0] * h.astype(jnp.float32)).astype(cdt)
+            z = jax.lax.dot_general(
+                act, w1_ref[l * hid : (l + 1) * hid, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b1_ref[l : l + 1, :].astype(jnp.float32)
+            z = jnp.maximum(z, 0).astype(cdt)
+            out = jax.lax.dot_general(
+                z, w2_ref[l * d : (l + 1) * d, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b2_ref[l : l + 1, :].astype(jnp.float32)
+            if l != num_layers - 1:
+                out = jnp.maximum(out, 0)
+            h = out.astype(cdt)
+        out_ref[:] = _pool_epilogue(h, h_ref, d, predw_ref, window, gmax)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((sw, 4), lambda w: (w, 0)),
+            pl.BlockSpec((window, d + 1 + int(has_vn)), lambda w: (w, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=num_layers
+            * (2 * num_windows * sw * window * d
+               + 4 * num_windows * window * hid * d
+               + (8 * num_windows * window * gmax * d if has_vn else 0)),
+            bytes_accessed=(
+                num_windows * sw * 4
+                + 2 * num_windows * window * (d + 1 + int(has_vn))
+            ) * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(slot_meta, hcat, ee_tables, w1_all, b1_all, w2_all, b2_all, eps_all,
+      pred_w)
+    return out
+
+
+def gcn_local_model_slots(
+    slot_meta: jnp.ndarray,  # [NW·Σc, 4] (src − W/2 ‖ attrs+offsets)
+    h0: jnp.ndarray,  # [n, D] conv-0 output
+    dis: jnp.ndarray,  # [n] 1/sqrt(deg+1)
+    pool_gl: jnp.ndarray,  # [NW·W]
+    ee_tables: jnp.ndarray,  # [L·13, D]
+    roots: jnp.ndarray,  # [L, D]
+    alphas: jnp.ndarray,  # [L, D] folded-BN scale
+    betas: jnp.ndarray,  # [L, D] folded-BN shift
+    wn_all: jnp.ndarray,  # [(L-1)·D, D]
+    bn_all: jnp.ndarray,  # [L-1, D]
+    pred_w: jnp.ndarray,  # [D, T]
+    window: int,
+    slots: int,
+    num_layers: int,
+    gmax: int,
+    prefix_caps: tuple | None = None,
+) -> jnp.ndarray:
+    """GCN whole-model megakernel over the dest-major slot layout (see
+    gin_local_model_slots — same structural lever). The per-edge source
+    norm dis_u rides the gather payload as one extra column, so one
+    one-hot matmul fetches h_u and dis_u together; dis_v distributes out
+    of the edge sum and scales the window accumulator once (the round-2
+    algebraic elimination). Per-layer math ≡ gcn_local_model.
+    No-spill prefix buckets only.
+    """
+    n, d = h0.shape
+    num_windows = -(-n // window)
+    pad = num_windows * window - n
+    hp = jnp.pad(h0, ((0, pad), (0, 0))) if pad else h0
+    dis2 = jnp.pad(dis[:, None], ((0, pad), (0, 0))) if pad else dis[:, None]
+    hcat = jnp.concatenate(
+        [hp, dis2.astype(hp.dtype), pool_gl[:, None].astype(hp.dtype)], axis=1
+    )
+    caps, offs, sw = _slot_prefix_geom(prefix_caps, window, slots)
+    vocab = ee_tables.shape[0] // num_layers
+    t_out = pred_w.shape[1]
+    cdt = h0.dtype
+    half = window // 2 if window <= 512 else 0
+
+    def kernel(meta_ref, x_ref, tab_ref, root_ref, alpha_ref, beta_ref,
+               wn_ref, bn_ref, predw_ref, out_ref):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (sw, window), 1).astype(
+            jnp.float32
+        ) - float(half)
+        vlanes = jax.lax.broadcasted_iota(jnp.int32, (sw, vocab), 1).astype(
+            jnp.float32
+        )
+        mf = meta_ref[:].astype(jnp.float32)
+        onehot = (mf[:, 0:1] == lanes).astype(cdt)
+        valid = (mf[:, 0:1] < float(window - half)).astype(jnp.float32)
+        multihot = (
+            (mf[:, 1:2] == vlanes).astype(cdt)
+            + (mf[:, 2:3] == vlanes).astype(cdt)
+            + (mf[:, 3:4] == vlanes).astype(cdt)
+        )
+        hu_pay = jnp.dot(
+            onehot, x_ref[:, d : d + 1], preferred_element_type=jnp.float32
+        )  # layer-invariant per-edge source norm dis_u
+        dis_u = hu_pay
+        dis_win = x_ref[:, d : d + 1].astype(jnp.float32)
+        h = x_ref[:, :d]
+        for l in range(num_layers):
+            ee = jnp.dot(
+                multihot,
+                tab_ref[l * vocab : (l + 1) * vocab, :],
+                preferred_element_type=jnp.float32,
+            )
+            h_u = jnp.dot(onehot, h, preferred_element_type=jnp.float32)
+            msg = (dis_u * jnp.maximum(h_u + ee, 0)).astype(cdt) * valid
+            acc = _slot_accumulate(msg, caps, offs, window)
+            h_win = h.astype(jnp.float32)
+            m = acc * dis_win
+            a = m + jnp.maximum(
+                h_win + root_ref[l : l + 1, :].astype(jnp.float32), 0.0
+            ) * (dis_win * dis_win)
+            x = (
+                alpha_ref[l : l + 1, :].astype(jnp.float32) * a
+                + beta_ref[l : l + 1, :].astype(jnp.float32)
+            )
+            if l != num_layers - 1:
+                a2 = jnp.maximum(x, 0.0).astype(cdt)
+                h = (
+                    jnp.dot(
+                        a2, wn_ref[l * d : (l + 1) * d, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + bn_ref[l : l + 1, :].astype(jnp.float32)
+                ).astype(cdt)
+            else:
+                out_ref[:] = _pool_epilogue(
+                    x, x_ref, d + 1, predw_ref, window, gmax
+                )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_windows,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        in_specs=[
+            pl.BlockSpec((sw, 4), lambda w: (w, 0)),
+            pl.BlockSpec((window, d + 2), lambda w: (w, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=num_layers
+            * (2 * num_windows * sw * window * d
+               + 2 * num_windows * window * d * d),
+            bytes_accessed=(
+                num_windows * sw * 4 + 2 * num_windows * window * d
+            ) * 4,
+            transcendentals=0,
+        ),
+        interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
+    )(slot_meta, hcat, ee_tables, roots, alphas, betas, wn_all, bn_all,
+      pred_w)
+    return out
+
+
 def gcn_local_message_ell(
     edge_attr: jnp.ndarray,  # [P, 3] int32 (offsets applied)
     ee_table: jnp.ndarray,  # [13, D]
@@ -2108,6 +2425,10 @@ def gat_local_model_pairs(
     num_layers: int,
     gmax: int,
     prefix_caps: tuple | None = None,  # per-slot static caps (degree-sorted)
+    _ablate: str | None = None,  # bench-only (bench/ablate_gat_pairs):
+    #   "nogather" stubs the two-hot gather matmul, "noscore" the score
+    #   recompute + exp chain, "noglue" the inter-layer glue matmul —
+    #   NOT bit-exact, used only for noop-subtracted time attribution.
 ) -> jnp.ndarray:
     """GAT whole-model megakernel with TWO-WINDOW LANE PACKING.
 
@@ -2166,6 +2487,7 @@ def gat_local_model_pairs(
         caps = tuple(window for _ in range(slots))
         offs = tuple(k * window for k in range(slots))
         sw = slots * window
+    _abl = set((_ablate or "").split(",")) - {""}
     gl = pool_gl.astype(cdt)
     if gl.shape[0] < rows:  # phantom window rows pool to the sentinel
         gl = jnp.concatenate(
@@ -2232,25 +2554,37 @@ def gat_local_model_pairs(
             ab_l = ab_ref[l * pay2 : (l + 1) * pay2, :]
             # Block-diagonal payload: [[h_A ‖ 0], [0 ‖ h_B]].
             payload = jnp.concatenate([hpair * mA, hpair * mB], axis=0)
-            hu = jnp.dot(
-                onehot, payload, preferred_element_type=jnp.float32
-            )  # [SW, 2HD] — row r = [h_A[srcA_r] ‖ h_B[srcB_r]]
-            hu_c = hu.astype(cdt)  # exact: gathered values are cdt
-            s2 = jnp.dot(
-                hu_c, ab_l[:, : 2 * nh], preferred_element_type=jnp.float32
-            )  # [SW, 2H] s_tgt of the gathered sources, per half
-            s_src = jnp.dot(
-                hpair, ab_l[:, 2 * nh :], preferred_element_type=jnp.float32
-            )  # [W, 2H] per dest row, per half
+            if "nogather" in _abl:
+                hu = jnp.zeros((sw, pay2), jnp.float32) + payload[
+                    0:1, :
+                ].astype(jnp.float32)
+            else:
+                hu = jnp.dot(
+                    onehot, payload, preferred_element_type=jnp.float32
+                )  # [SW, 2HD] — row r = [h_A[srcA_r] ‖ h_B[srcB_r]]
+            if "noscore" not in _abl:
+                hu_c = hu.astype(cdt)  # exact: gathered values are cdt
+                s2 = jnp.dot(
+                    hu_c, ab_l[:, : 2 * nh],
+                    preferred_element_type=jnp.float32,
+                )  # [SW, 2H] s_tgt of the gathered sources, per half
+                s_src = jnp.dot(
+                    hpair, ab_l[:, 2 * nh :],
+                    preferred_element_type=jnp.float32,
+                )  # [W, 2H] per dest row, per half
             num = jnp.zeros((window, pay2), jnp.float32)
             denx = jnp.zeros((window, pay2), jnp.float32)
             for k in range(slots):
                 sl = slice(offs[k], offs[k] + caps[k])
                 rows_k = slice(0, caps[k])  # dest rank r = window row r
-                raw = s_src[rows_k] + s2[sl]
-                score = (
-                    jnp.exp(jnp.where(raw < 0, raw * 0.2, raw)) * valid8[sl]
-                )
+                if "noscore" in _abl:
+                    score = valid8[sl]
+                else:
+                    raw = s_src[rows_k] + s2[sl]
+                    score = (
+                        jnp.exp(jnp.where(raw < 0, raw * 0.2, raw))
+                        * valid8[sl]
+                    )
                 scorex = jnp.dot(
                     score, expand2, preferred_element_type=jnp.float32
                 )
@@ -2268,13 +2602,16 @@ def gat_local_model_pairs(
                 feat = jnp.where(
                     feat <= 0, jnp.exp(feat) - 1, feat
                 ).astype(cdt)  # ELU, ≙ prec.q(feat)
-                g = jnp.dot(
-                    feat,
-                    glue_ref[l * pay2 : (l + 1) * pay2, :],
-                    preferred_element_type=jnp.float32,
-                )  # [W, 4HD] = [h_{l+1} pair ‖ skip_{l+1} pair]
-                hpair = g[:, :pay2].astype(cdt)
-                skip = g[:, pay2:]
+                if "noglue" in _abl:
+                    hpair = feat
+                else:
+                    g = jnp.dot(
+                        feat,
+                        glue_ref[l * pay2 : (l + 1) * pay2, :],
+                        preferred_element_type=jnp.float32,
+                    )  # [W, 4HD] = [h_{l+1} pair ‖ skip_{l+1} pair]
+                    hpair = g[:, :pay2].astype(cdt)
+                    skip = g[:, pay2:]
             else:
                 outp = (msg + skip).astype(cdt)
                 p = jnp.dot(

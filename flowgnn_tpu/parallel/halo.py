@@ -311,7 +311,7 @@ def build_halo_batch(
             s_slots = slots or max(1, min(s_needed, PALLAS_SLOTS))
             slot_u, slot_sp, slot_cnt = [], [], []
             for ei, s_ext, r_loc in per_chip:
-                us, sp, cnt = build_local_slots(
+                us, sp, cnt, _ = build_local_slots(
                     s_ext, r_loc, s_rows + 1, window=window,
                     slots=s_slots, spill_capacity=spill_cap,
                 )

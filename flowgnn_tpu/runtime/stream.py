@@ -56,10 +56,24 @@ class InferenceStream:
         self._blocked = (
             "local_slots" if model in ("pna", "gat", "dgn") else "local_ell"
         )
+        self._pins: dict[int, dict] = {}  # per-window static layout pins
+        self.last_dispatches = 0  # relay calls issued by the last run
         self._fwd = jax.jit(lambda p, b: self.spec.forward(p, b, prec))
+        # Chained dispatch: several same-signature buckets per relay call
+        # (one tuple arg) — divides the per-dispatch RTT floor by the
+        # chain length. Retraces once per chain length.
+        self._fwd_chain = jax.jit(
+            lambda p, bs: tuple(self.spec.forward(p, b, prec) for b in bs)
+        )
 
     def _make_batch(self, bucket: list[Graph]) -> tuple[dict, int]:
-        """Window-aligned pack + production kernel layout for one bucket."""
+        """Window-aligned pack + production kernel layout for one bucket.
+
+        Slot layouts pin their content-derived statics (slot depth,
+        prefix caps) to the FIRST bucket's values so every bucket of a
+        stream reuses one compiled program; a later bucket that exceeds a
+        pin re-derives it (one extra compile, rare on homogeneous
+        streams)."""
         window, block = choose_geometry(
             self.spec.name, max(g.num_nodes for g in bucket)
         )
@@ -71,47 +85,199 @@ class InferenceStream:
             graph_capacity=self.caps[2],
             with_eigen=self.spec.needs_eigen,
         )
-        return (
-            as_batch(
-                packed, blocked=self._blocked, window=window, block=block,
-            ),
-            len(bucket),
-        )
+        # Bench-policy mirror (round 5): the edge-featured models also
+        # take the slot layout when the bucket fits the window (no
+        # scatter matmul — measured faster); window-exceeding buckets
+        # keep ELL + spill tail.
+        blocked = self._blocked
+        if blocked == "local_ell" and max(
+            g.num_nodes for g in bucket
+        ) <= window:
+            blocked = "local_slots"
+        kw = dict(self._pins.get(window, {})) if blocked == "local_slots" \
+            else {}
+        try:
+            batch = as_batch(
+                packed, blocked=blocked, window=window, block=block, **kw,
+            )
+            if kw and batch["slot_spill_mask"].any():
+                # Under-pinned slot depth routed this bucket's deeper
+                # in-degrees to the spill tail — re-derive instead
+                # (keeps the megakernels engaged; one extra compile).
+                raise ValueError("pinned slots overflowed")
+        except ValueError:  # pins below this bucket's requirements
+            kw = {}
+            batch = as_batch(
+                packed, blocked=blocked, window=window, block=block,
+            )
+        if blocked == "local_slots" and not kw:
+            # (Re-)derive pins, merged monotonically with any previous
+            # values so successive re-derivations only grow (stable
+            # signatures on homogeneous streams).
+            old = self._pins.get(window, {})
+            pins: dict = {
+                "slots": max(int(batch["slot_geom"].shape[-1]),
+                             old.get("slots", 0)),
+            }
+            if "slot_pcap_0" in batch:
+                import itertools
+
+                caps = tuple(
+                    int(batch[f"slot_pcap_{k}"].shape[-2])
+                    for k in range(int(batch["slot_geom"].shape[-1]))
+                )
+                pins["prefix_caps"] = tuple(
+                    max(c) for c in itertools.zip_longest(
+                        caps, old.get("prefix_caps", ()), fillvalue=64,
+                    )
+                )
+            self._pins[window] = pins
+        # Transfer diet: the relay uploads every used jit-argument leaf
+        # per call; the categorical feature arrays are small-vocab ints
+        # (atom features ≤ 118, bond ≤ 12) — int8 quarters their upload.
+        # Models promote against the int32 offset tables unchanged.
+        batch["node_feat"] = batch["node_feat"].astype(np.int8)
+        batch["edge_attr"] = np.asarray(batch["edge_attr"]).astype(np.int8)
+        return batch, len(bucket)
 
     def _flush(self, bucket: list[Graph], set_id: int) -> np.ndarray:
         batch, n = self._make_batch(bucket)
         out = self._fwd(self.params[set_id], batch)
         return np.asarray(out)[:n, 0]
 
-    def run(
+    def _bucketize(
         self, items: Iterable[tuple[Graph, int]]
-    ) -> Iterator[np.ndarray]:
-        """Yield per-graph predictions in submission order.
-
-        A bucket is flushed when full or when the weight-set id changes —
-        the bucket-granularity version of the per-graph reload flag.
-        """
+    ) -> Iterator[tuple[list[Graph], int]]:
+        """Group the item stream into capacity/weight-set buckets — a
+        bucket closes when full or when the weight-set id changes (the
+        bucket-granularity version of the per-graph reload flag,
+        GIN/src/GIN_compute.cc:49-63)."""
         node_cap, edge_cap, graph_cap = self.caps
+
+        def align_step(off: int, n: int, window: int) -> int:
+            # Mirrors pack_graphs_aligned's first pass: a window-fitting
+            # graph that would straddle a boundary advances to the next
+            # window first.
+            if n <= window:
+                room = window - (off % window)
+                if n > room:
+                    off += room
+            return off + n
+
         bucket: list[Graph] = []
         cur_set = None
-        nodes = edges = 0
+        edges = 0
+        aligned = 0  # aligned node rows consumed by the current bucket
+        max_nodes = 0
         for g, set_id in items:
             g = registry.apply_transforms(self.spec, [g])[0]
             if set_id >= len(self.params) or set_id < 0:
                 raise ValueError(f"unknown weight set {set_id}")
+            new_max = max(max_nodes, g.num_nodes)
+            window, _ = choose_geometry(self.spec.name, max(new_max, 1))
+            if new_max > max_nodes and bucket:
+                # Window may have bumped — recompute alignment from scratch.
+                aligned = 0
+                for gg in bucket:
+                    aligned = align_step(aligned, gg.num_nodes, window)
+            new_aligned = align_step(aligned, g.num_nodes, window)
             boundary = (
                 cur_set is not None and set_id != cur_set
             ) or (
-                nodes + g.num_nodes > node_cap
+                new_aligned > node_cap
                 or edges + g.num_edges > edge_cap
                 or len(bucket) >= graph_cap
             )
             if boundary and bucket:
-                yield from self._flush(bucket, cur_set)
-                bucket, nodes, edges = [], 0, 0
+                yield bucket, cur_set
+                bucket, edges, aligned, max_nodes = [], 0, 0, 0
+                window, _ = choose_geometry(self.spec.name, g.num_nodes)
+                new_aligned = align_step(0, g.num_nodes, window)
             bucket.append(g)
             cur_set = set_id
-            nodes += g.num_nodes
+            aligned = new_aligned
+            max_nodes = max(max_nodes, g.num_nodes)
             edges += g.num_edges
         if bucket:
-            yield from self._flush(bucket, cur_set)
+            yield bucket, cur_set
+
+    def run(
+        self, items: Iterable[tuple[Graph, int]]
+    ) -> Iterator[np.ndarray]:
+        """Yield per-graph predictions in submission order (sequential:
+        pack bucket i, run bucket i, read back, repeat)."""
+        for bucket, set_id in self._bucketize(items):
+            yield from self._flush(bucket, set_id)
+
+    def run_pipelined(
+        self,
+        items: Iterable[tuple[Graph, int]],
+        depth: int = 2,
+        chain: int = 4,
+        workers: int = 2,
+    ) -> Iterator[np.ndarray]:
+        """Sustained pipeline: ``workers`` threads pack buckets ahead
+        while the device runs, up to ``chain`` consecutive same-signature
+        same-weight-set buckets ride ONE relay dispatch (dividing the
+        per-dispatch RTT floor by the chain length), and ``depth``
+        dispatches stay in flight before the oldest is forced
+        (VERDICT r4 #4).
+
+        This is the TPU analog of the reference's in-kernel graph loading
+        (GIN/src/load_inputs.cc:87-172 runs inside every timed enqueue,
+        overlapped with compute by the dataflow) — host packing rides the
+        device/relay shadow instead of serializing with it. Predictions
+        still come back in submission order."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..models.base import batch_signature
+
+        it = self._bucketize(items)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            pack_q: collections.deque = collections.deque()
+
+            def refill():
+                # Keep enough packs queued that the workers are never
+                # idle while the main thread waits on the device.
+                while len(pack_q) < max(chain, workers + 1):
+                    try:
+                        bucket, sid = next(it)
+                    except StopIteration:
+                        return
+                    pack_q.append(
+                        (ex.submit(self._make_batch, bucket), sid)
+                    )
+
+            refill()
+            self.last_dispatches = 0
+            pend: collections.deque = collections.deque()
+
+            def drain(limit):
+                while len(pend) > limit:
+                    outs, ns = pend.popleft()
+                    for o, k in zip(outs, ns):
+                        yield from np.asarray(o)[:k, 0]
+
+            while pack_q:
+                group: list = []
+                ns: list = []
+                gsid = gsig = None
+                while pack_q and len(group) < chain:
+                    fut, sid = pack_q[0]
+                    batch, n = fut.result()
+                    sig = batch_signature(batch)
+                    if group and (sid != gsid or sig != gsig):
+                        break  # chain boundary (weight flip / new shape)
+                    pack_q.popleft()
+                    refill()
+                    group.append(batch)
+                    ns.append(n)
+                    gsid, gsig = sid, sig
+                outs = self._fwd_chain(
+                    self.params[gsid], tuple(group)
+                )  # async dispatch, one relay call for the whole chain
+                self.last_dispatches += 1
+                pend.append((outs, ns))
+                yield from drain(depth)
+            yield from drain(0)

@@ -461,6 +461,59 @@ def test_gat_dgn_local_slots_overflow(name, reference_root):
                     rtol=1e-5, atol=1e-5, msg=name)
 
 
+@pytest.mark.parametrize("name", ["gin", "gin-vn", "gcn"])
+def test_ell_models_slot_megakernel_equals_plain(name, graphs16,
+                                                 reference_root):
+    """Round-5 dest-major slot layout for the edge-featured models
+    (VERDICT r4 #3): bond embeddings ride slot-aligned ``slot_meta``
+    lanes, the reduction is dense prefix accumulation (no scatter
+    matmul). Must equal the plain path, engage as ONE pallas call, and
+    the dead-wiring guard must bite on the metadata."""
+    import jax
+
+    spec = registry.get(name)
+    params = spec.loader(os.path.join(reference_root, spec.reference_dir))
+    jp = prepare_params(params, FLOAT32)
+    tg = registry.apply_transforms(spec, graphs16[:4])
+    small = dict(node_capacity=512, edge_capacity=2048, graph_capacity=8)
+    plain = spec.forward(jp, as_batch(pack_graphs(tg, **small)), FLOAT32)
+    sbatch = as_batch(
+        pack_graphs_aligned(tg, window=256, **small),
+        blocked="local_slots", window=256,
+    )
+    assert "slot_meta" in sbatch
+    jaxpr = str(
+        jax.make_jaxpr(lambda p, b: spec.forward(p, b, FLOAT32))(jp, sbatch)
+    )
+    assert jaxpr.count("pallas_call") == 1, f"{name}: megakernel not engaged"
+    slotted = spec.forward(jp, sbatch, FLOAT32)
+    assert_allclose(np.asarray(slotted)[:4], np.asarray(plain)[:4],
+                    rtol=1e-5, atol=1e-5, msg=name)
+    # Dead-wiring guard: corrupting the slot metadata must change output.
+    corrupt = dict(sbatch)
+    half = 128.0  # window 256 → indices recentered by W/2
+    corrupt["slot_meta"] = np.where(
+        sbatch["slot_meta"] < 128 - half + 1, 0, sbatch["slot_meta"]
+    ).astype(sbatch["slot_meta"].dtype)
+    broken = spec.forward(jp, corrupt, FLOAT32)
+    assert not np.allclose(np.asarray(broken)[:4], np.asarray(plain)[:4],
+                           rtol=1e-5, atol=1e-5)
+    # bf16 drift envelope vs the ELL megakernel.
+    from flowgnn_tpu.core.numerics import BF16
+
+    jb = prepare_params(params, BF16)
+    slot16 = spec.forward(jb, sbatch, BF16)
+    ebatch = as_batch(
+        pack_graphs_aligned(tg, window=256, **small),
+        blocked="local_ell", window=256, block=640,
+    )
+    ell16 = spec.forward(jb, ebatch, BF16)
+    assert_allclose(
+        np.asarray(slot16, np.float32)[:4], np.asarray(ell16, np.float32)[:4],
+        rtol=0.05, atol=0.05, msg=f"{name} slot bf16 vs ell bf16",
+    )
+
+
 def test_gat_pairs_megakernel_equals_plain(graphs16, reference_root,
                                            monkeypatch):
     """Two-window lane-packing megakernel (FLOWGNN_GAT_PAIRS=1) == plain.

@@ -79,9 +79,12 @@ def test_stream_runs_production_layout(gin_param_sets, reference_root,
         [registry.apply_transforms(stream.spec, [g])[0]
          for g in graphs16[:8]]
     )
-    assert "loc_ulocal" in batch and "loc_ell" in batch
+    # Round 5: window-fitting buckets take the dest-major slot layout
+    # (slot megakernel — no scatter matmul); the ELL layout remains the
+    # window-exceeding fallback.
+    assert "slot_meta" in batch and "slot_pstack" in batch
     assert "pool_gl" in batch  # in-kernel finalize layout attached
-    assert batch["senders"].shape[0] == batch["loc_ulocal"].shape[0], (
+    assert not batch["slot_spill_mask"].any(), (
         "aligned packing must leave no spill tail"
     )
     got = np.array(list(stream.run([(g, 0) for g in graphs16[:8]])))
@@ -106,3 +109,18 @@ def test_stream_slot_model_layout(reference_root, graphs16):
     )
     assert "slot_src" in batch and "slot_stack" in batch
     assert batch["slot_spill"].shape[-1] == 0
+
+
+def test_stream_pipelined_matches_sequential(gin_param_sets, graphs16):
+    """run_pipelined (pack bucket i+1 while the device runs bucket i,
+    VERDICT r4 #4) must yield the SAME predictions in the SAME order as
+    the sequential run, across weight-set flips and bucket boundaries."""
+    stream = InferenceStream("gin", gin_param_sets, FLOAT32,
+                             node_capacity=512, edge_capacity=2048,
+                             graph_capacity=4)  # several buckets
+    sets = [0, 0, 1, 1, 0, 1, 0, 0, 1, 0, 1, 1, 0, 0, 1, 0]
+    items = list(zip(graphs16, sets))
+    want = np.array(list(stream.run(items)))
+    got = np.array(list(stream.run_pipelined(items, depth=2)))
+    assert got.shape == (16,)
+    assert_allclose(got, want, rtol=1e-6, atol=1e-6)
