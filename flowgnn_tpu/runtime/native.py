@@ -55,6 +55,7 @@ def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
                 return None
         lib = ctypes.CDLL(_LIB)
         lib.fg_pack_bucket.restype = ctypes.c_int32
+        lib.fg_pack_bucket_aligned.restype = ctypes.c_int32
         lib.fg_read_graph.restype = ctypes.c_int32
         lib.fg_build_local_ell.restype = ctypes.c_int32
         lib.fg_build_local_ell.argtypes = [
@@ -70,8 +71,13 @@ def pack_bucket_native(
     node_capacity: int,
     edge_capacity: int,
     graph_capacity: int,
+    window: int = 0,
 ) -> tuple[PackedGraphs, int]:
-    """Pack as many of ``graphs`` as fit; returns (bucket, graphs_consumed)."""
+    """Pack as many of ``graphs`` as fit; returns (bucket, graphs_consumed).
+
+    ``window`` > 0 packs window-ALIGNED (fg_pack_bucket_aligned — byte-
+    identical to core/graphs.pack_graphs_aligned for graphs without
+    eigen/VN payloads; test_runtime.py asserts it)."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("native packer unavailable")
@@ -95,14 +101,26 @@ def pack_bucket_native(
     out_n_node = np.empty(graph_capacity + 1, np.int32)
     out_n_edge = np.empty(graph_capacity + 1, np.int32)
 
-    consumed = lib.fg_pack_bucket(
-        _as_i32p(node_feat), _as_i32p(edge_index), _as_i32p(edge_attr),
-        _as_i32p(n_nodes), _as_i32p(n_edges), len(graphs),
-        node_capacity, edge_capacity, graph_capacity,
-        _as_i32p(out_node_feat), _as_i32p(out_node_graph),
-        _as_i32p(out_senders), _as_i32p(out_receivers),
-        _as_i32p(out_edge_attr), _as_i32p(out_n_node), _as_i32p(out_n_edge),
-    )
+    if window > 0:
+        consumed = lib.fg_pack_bucket_aligned(
+            _as_i32p(node_feat), _as_i32p(edge_index), _as_i32p(edge_attr),
+            _as_i32p(n_nodes), _as_i32p(n_edges), len(graphs),
+            node_capacity, edge_capacity, graph_capacity, window,
+            _as_i32p(out_node_feat), _as_i32p(out_node_graph),
+            _as_i32p(out_senders), _as_i32p(out_receivers),
+            _as_i32p(out_edge_attr), _as_i32p(out_n_node),
+            _as_i32p(out_n_edge),
+        )
+    else:
+        consumed = lib.fg_pack_bucket(
+            _as_i32p(node_feat), _as_i32p(edge_index), _as_i32p(edge_attr),
+            _as_i32p(n_nodes), _as_i32p(n_edges), len(graphs),
+            node_capacity, edge_capacity, graph_capacity,
+            _as_i32p(out_node_feat), _as_i32p(out_node_graph),
+            _as_i32p(out_senders), _as_i32p(out_receivers),
+            _as_i32p(out_edge_attr), _as_i32p(out_n_node),
+            _as_i32p(out_n_edge),
+        )
     if consumed < 0:
         raise ValueError("first graph exceeds bucket capacity")
     packed = PackedGraphs(

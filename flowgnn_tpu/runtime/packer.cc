@@ -95,6 +95,72 @@ int32_t fg_pack_bucket(
   return g;
 }
 
+// Window-ALIGNED bucket packing (the pack_graphs_aligned fast path —
+// core/graphs.py:275): identical to fg_pack_bucket except a graph that
+// fits one window never straddles a window boundary (it advances to the
+// next boundary first), leaving gap rows as pad nodes owned by the pad
+// graph. This is the locality contract of the graph-local Pallas kernels;
+// in the pipelined host application (runtime/stream.py) this pack runs on
+// worker threads in the device's shadow, the TPU analog of the reference
+// loading graphs inside every timed pass (GIN/src/load_inputs.cc:87-172).
+int32_t fg_pack_bucket_aligned(
+    const int32_t* node_feat, const int32_t* edge_index,
+    const int32_t* edge_attr,  // nullable
+    const int32_t* n_nodes, const int32_t* n_edges, int32_t num_graphs,
+    int32_t node_cap, int32_t edge_cap, int32_t graph_cap, int32_t window,
+    int32_t* out_node_feat, int32_t* out_node_graph, int32_t* out_senders,
+    int32_t* out_receivers, int32_t* out_edge_attr, int32_t* out_n_node,
+    int32_t* out_n_edge) {
+  std::memset(out_node_feat, 0,
+              sizeof(int32_t) * (int64_t)(node_cap + 1) * kAtomFeatures);
+  std::memset(out_edge_attr, 0,
+              sizeof(int32_t) * (int64_t)edge_cap * kBondFeatures);
+  std::memset(out_n_node, 0, sizeof(int32_t) * (graph_cap + 1));
+  std::memset(out_n_edge, 0, sizeof(int32_t) * (graph_cap + 1));
+  for (int32_t i = 0; i <= node_cap; ++i) out_node_graph[i] = graph_cap;
+  for (int32_t i = 0; i < edge_cap; ++i) {
+    out_senders[i] = node_cap;
+    out_receivers[i] = node_cap;
+  }
+
+  int32_t off = 0, edge_off = 0, g = 0, real_nodes = 0;
+  int64_t in_node_off = 0, in_edge_off = 0;
+  for (; g < num_graphs && g < graph_cap; ++g) {
+    const int32_t n = n_nodes[g], e = n_edges[g];
+    int32_t node_off = off;
+    if (window > 0 && n <= window) {
+      const int32_t room = window - (node_off % window);
+      if (n > room) node_off += room;
+    }
+    if (node_off + n > node_cap || edge_off + e > edge_cap) break;
+    std::memcpy(out_node_feat + (int64_t)node_off * kAtomFeatures,
+                node_feat + in_node_off * kAtomFeatures,
+                sizeof(int32_t) * n * kAtomFeatures);
+    for (int32_t i = 0; i < n; ++i) out_node_graph[node_off + i] = g;
+    const int32_t* ei = edge_index + in_edge_off * 2;
+    for (int32_t i = 0; i < e; ++i) {
+      out_senders[edge_off + i] = ei[2 * i] + node_off;
+      out_receivers[edge_off + i] = ei[2 * i + 1] + node_off;
+    }
+    if (edge_attr != nullptr) {
+      std::memcpy(out_edge_attr + (int64_t)edge_off * kBondFeatures,
+                  edge_attr + in_edge_off * kBondFeatures,
+                  sizeof(int32_t) * e * kBondFeatures);
+    }
+    out_n_node[g] = n;
+    out_n_edge[g] = e;
+    off = node_off + n;
+    real_nodes += n;
+    edge_off += e;
+    in_node_off += n;
+    in_edge_off += e;
+  }
+  if (g == 0) return -1;
+  out_n_node[graph_cap] = node_cap + 1 - real_nodes;
+  out_n_edge[graph_cap] = edge_cap - edge_off;
+  return g;
+}
+
 // Virtual-node augmentation in place of the GIN-VN host
 // (GIN-VN/src/host_load.cc:129-153): appends one zero-feature node and the
 // bidirectional star of zero-attr edges. Output capacities must be at least

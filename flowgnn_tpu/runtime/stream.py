@@ -77,14 +77,30 @@ class InferenceStream:
         window, block = choose_geometry(
             self.spec.name, max(g.num_nodes for g in bucket)
         )
-        packed = pack_graphs_aligned(
-            bucket,
-            window=window,
-            node_capacity=self.caps[0],
-            edge_capacity=self.caps[1],
-            graph_capacity=self.caps[2],
-            with_eigen=self.spec.needs_eigen,
-        )
+        packed = None
+        if not self.spec.needs_eigen and all(
+            g.node_vn is None for g in bucket
+        ):
+            # Native C++ aligned packer (byte-identical; eigen/VN payloads
+            # fall back to the NumPy path).
+            from .native import load_library, pack_bucket_native
+
+            if load_library() is not None:
+                packed, consumed = pack_bucket_native(
+                    bucket, self.caps[0], self.caps[1], self.caps[2],
+                    window=window,
+                )
+                if consumed < len(bucket):  # shouldn't happen: bucketize
+                    packed = None           # pre-sizes against capacity
+        if packed is None:
+            packed = pack_graphs_aligned(
+                bucket,
+                window=window,
+                node_capacity=self.caps[0],
+                edge_capacity=self.caps[1],
+                graph_capacity=self.caps[2],
+                with_eigen=self.spec.needs_eigen,
+            )
         # Bench-policy mirror (round 5): the edge-featured models also
         # take the slot layout when the bucket fits the window (no
         # scatter matmul — measured faster); window-exceeding buckets
@@ -265,6 +281,13 @@ class InferenceStream:
                 gsid = gsig = None
                 while pack_q and len(group) < chain:
                     fut, sid = pack_q[0]
+                    if group and not fut.done():
+                        # Adaptive chaining: never WAIT to grow a chain —
+                        # dispatch what is ready (chains form when packing
+                        # runs ahead of the device; a pack-bound stream
+                        # degenerates to single dispatches instead of
+                        # serializing behind chain assembly).
+                        break
                     batch, n = fut.result()
                     sig = batch_signature(batch)
                     if group and (sid != gsid or sig != gsig):

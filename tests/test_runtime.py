@@ -82,3 +82,28 @@ def test_native_local_ell_matches_numpy(lib, monkeypatch, graphs16,
     np.testing.assert_array_equal(edge_perm, want.edge_perm)
     np.testing.assert_array_equal(valid, want.valid)
     np.testing.assert_array_equal(spill_idx, want.spill[: want.spill_count])
+
+
+def test_native_aligned_pack_byte_equal(graphs16):
+    """fg_pack_bucket_aligned == pack_graphs_aligned, byte for byte (the
+    pipelined host application's hot pack runs through it)."""
+    import numpy as np
+
+    from flowgnn_tpu.core.graphs import pack_graphs_aligned
+    from flowgnn_tpu.runtime.native import load_library, pack_bucket_native
+
+    if load_library() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    caps = dict(node_capacity=511, edge_capacity=2048, graph_capacity=16)
+    for window in (128, 384):
+        want = pack_graphs_aligned(graphs16, window=window, **caps)
+        got, consumed = pack_bucket_native(graphs16, 511, 2048, 16,
+                                           window=window)
+        assert consumed == 16
+        for f in ("node_feat", "node_graph", "senders", "receivers",
+                  "edge_attr", "n_node", "n_edge"):
+            np.testing.assert_array_equal(
+                getattr(got, f), getattr(want, f), err_msg=f"{f} w{window}"
+            )
