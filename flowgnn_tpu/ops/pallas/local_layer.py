@@ -2555,9 +2555,13 @@ def gat_local_model_pairs(
             # Block-diagonal payload: [[h_A ‖ 0], [0 ‖ h_B]].
             payload = jnp.concatenate([hpair * mA, hpair * mB], axis=0)
             if "nogather" in _abl:
-                hu = jnp.zeros((sw, pay2), jnp.float32) + payload[
-                    0:1, :
-                ].astype(jnp.float32)
+                # Tiny-K stand-in gather (~1% of the real matmul's work;
+                # zeros-region and scalar-broadcast stubs both abort the
+                # Mosaic compiler) — keeps shapes/layouts natural.
+                hu = jnp.dot(
+                    onehot[:, :8], payload[:8, :],
+                    preferred_element_type=jnp.float32,
+                )
             else:
                 hu = jnp.dot(
                     onehot, payload, preferred_element_type=jnp.float32
