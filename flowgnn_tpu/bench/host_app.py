@@ -39,7 +39,7 @@ def main() -> None:
     ap.add_argument("--node-cap", type=int, default=32768)
     ap.add_argument("--graph-cap", type=int, default=2048)
     ap.add_argument("--depth", type=int, default=2)
-    ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument("--chain", type=int, default=4)
     ap.add_argument("--workers", type=int, default=3)
     ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
@@ -80,12 +80,25 @@ def main() -> None:
     )
     items = [(g, (i // args.flip) % args.sets) for i, g in enumerate(graphs)]
 
-    # Warm-up (compiles both weight-set signatures; excluded like the
-    # reference's one-time bitstream programming).
+    # Warm-up (excluded like the reference's one-time bitstream
+    # programming): (a) a pin PREPASS over every bucket so the slot
+    # layouts' stream-wide static pins are final before anything
+    # compiles; (b) explicit compilation of every chain length 1..chain
+    # at the steady-state signature — adaptive chaining's group sizes
+    # are data/timing-dependent, and a fresh (length, signature) trace
+    # inside a timed trial would charge minutes of compile to the wall.
+    buckets_list = list(stream._bucketize(items))
+    for bkt, _sid in buckets_list:
+        stream._make_batch(bkt)  # pins merge to stream maxima
+    b0, _n0 = stream._make_batch(buckets_list[0][0])
+    for ln in range(1, args.chain + 1):
+        np.asarray(
+            stream._fwd_chain(stream.params[0], tuple([b0] * ln))[0]
+        )
+    np.asarray(stream._fwd(stream.params[0], b0))
     warm = items[: min(args.graph_cap, len(items))] + items[-2:]
     _ = list(stream.run_pipelined(warm, depth=args.depth, chain=args.chain,
                                   workers=args.workers))
-    _ = list(stream.run(warm[:4]))
 
     def timed(fn):
         best = float("inf")
@@ -106,6 +119,8 @@ def main() -> None:
     np.testing.assert_allclose(seq_out, pipe_out, rtol=1e-5, atol=1e-5)
 
     floor = dispatch_floor(BF16)
+    u50_us = {"gin": 49.5, "gin-vn": 56.2, "gcn": 41.9, "gat": 17.6,
+              "pna": 57.4, "dgn": 32.9}[args.model]  # molhiv device-only
     n_buckets = sum(1 for _ in stream._bucketize(items))
     n_dispatches = stream.last_dispatches or n_buckets
     rec = {
@@ -118,8 +133,9 @@ def main() -> None:
         "dispatch_floor_ms": round(floor * 1e3, 2),
         "dispatches": n_dispatches,
         "relay_floor_share": round(n_dispatches * floor / pipe_s, 3),
-        "vs_u50_device_only_49.5us": round(
-            49.5 / (pipe_s / args.graphs * 1e6), 3
+        "u50_device_only_us": u50_us,
+        "vs_u50_device_only": round(
+            u50_us / (pipe_s / args.graphs * 1e6), 3
         ),
     }
     print(json.dumps(rec))

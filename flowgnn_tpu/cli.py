@@ -71,14 +71,19 @@ def run_case(
     # Same model-dependent defaults as bench.py.
     if layout is None:
         layout = "local"  # round-2: the graph-local kernels win for ALL six models
-    blocked = {
-        "plain": False,
-        "blocked": True,
-        "local": "local_slots" if name in ("pna", "gat", "dgn") else "local_ell",
-    }[layout]
     from .models.base import choose_geometry
 
     ell_w, ell_b = choose_geometry(name, max(g.num_nodes for g in graphs))
+    # Round-5 policy mirror (bench.py): the edge-featured models also
+    # take the dest-major slot layout when the stream fits the window.
+    slot_fits = max(g.num_nodes for g in graphs) <= ell_w
+    blocked = {
+        "plain": False,
+        "blocked": True,
+        "local": "local_slots"
+        if (name in ("pna", "gat", "dgn") or slot_fits)
+        else "local_ell",
+    }[layout]
     from .core.graphs import auto_edge_capacity
 
     buckets = list(
@@ -91,12 +96,25 @@ def run_case(
             align_window=ell_w if layout == "local" else None,
         )
     )
-    batches = [
-        jax.tree_util.tree_map(
-            jax.device_put,
-            as_batch(b, blocked=blocked, window=ell_w, block=ell_b),
-        )
+    raw_batches = [
+        as_batch(b, blocked=blocked, window=ell_w, block=ell_b)
         for b in buckets
+    ]
+    if (
+        blocked == "local_slots"
+        and name in ("gin", "gcn", "gin-vn")
+        and any(b["slot_spill_mask"].any() for b in raw_batches)
+    ):
+        # Slot-overflow (in-degree > slot budget) would drop the
+        # edge-featured models to the plain path — ELL + spill tail wins
+        # there (bench.py policy mirror).
+        blocked = "local_ell"
+        raw_batches = [
+            as_batch(b, blocked=blocked, window=ell_w, block=ell_b)
+            for b in buckets
+        ]
+    batches = [
+        jax.tree_util.tree_map(jax.device_put, b) for b in raw_batches
     ]
     counts = [b.num_graphs for b in buckets]
     total = sum(counts)

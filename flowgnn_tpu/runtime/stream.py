@@ -230,7 +230,7 @@ class InferenceStream:
         items: Iterable[tuple[Graph, int]],
         depth: int = 2,
         chain: int = 4,
-        workers: int = 2,
+        workers: int = 3,
     ) -> Iterator[np.ndarray]:
         """Sustained pipeline: ``workers`` threads pack buckets ahead
         while the device runs, up to ``chain`` consecutive same-signature
