@@ -936,6 +936,9 @@ def gin_local_model_slots(
     gmax: int,
     prefix_caps: tuple | None = None,
     vn_col: jnp.ndarray | None = None,  # [n] analytic-VN flag (GIN-VN)
+    _ablate: str | None = None,  # bench-only (bench/ablate_gin_slots):
+    #   comma-set of "nogather"/"nobond"/"noacc"/"nomlp" stage stubs —
+    #   NOT bit-exact, used only for noop-subtracted time attribution.
 ) -> jnp.ndarray:
     """GIN whole-model megakernel over the DEST-MAJOR SLOT layout.
 
@@ -970,6 +973,7 @@ def gin_local_model_slots(
     t_out = pred_w.shape[1]
     cdt = h0.dtype
     half = window // 2 if window <= 512 else 0
+    _abl = set((_ablate or "").split(",")) - {""}
 
     def kernel(meta_ref, h_ref, tab_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                eps_ref, predw_ref, out_ref):
@@ -996,14 +1000,29 @@ def gin_local_model_slots(
             ).astype(jnp.float32)
             ohg = (gl == giota).astype(cdt)
         for l in range(num_layers):
-            ee = jnp.dot(
-                multihot,
-                tab_ref[l * vocab : (l + 1) * vocab, :],
-                preferred_element_type=jnp.float32,
-            )
-            h_u = jnp.dot(onehot, h, preferred_element_type=jnp.float32)
+            if "nobond" in _abl:
+                ee = jnp.dot(
+                    multihot[:, :1], tab_ref[l * vocab : l * vocab + 1, :],
+                    preferred_element_type=jnp.float32,
+                )  # tiny-K stand-in (see ablate_gat_pairs note)
+            else:
+                ee = jnp.dot(
+                    multihot,
+                    tab_ref[l * vocab : (l + 1) * vocab, :],
+                    preferred_element_type=jnp.float32,
+                )
+            if "nogather" in _abl:
+                h_u = jnp.dot(
+                    onehot[:, :8], h[:8, :],
+                    preferred_element_type=jnp.float32,
+                )  # tiny-K stand-in
+            else:
+                h_u = jnp.dot(onehot, h, preferred_element_type=jnp.float32)
             msg = jnp.maximum(h_u + ee, 0).astype(cdt) * valid
-            acc = _slot_accumulate(msg, caps, offs, window)
+            if "noacc" in _abl:
+                acc = msg[:window].astype(jnp.float32)
+            else:
+                acc = _slot_accumulate(msg, caps, offs, window)
             if has_vn:
                 e0 = (
                     tab_ref[l * vocab : l * vocab + 1, :].astype(jnp.float32)
@@ -1033,6 +1052,9 @@ def gin_local_model_slots(
                 )
                 acc = acc + back[:, d:] * (1.0 - vnc) + back[:, :d] * vnc
             act = (acc + eps_ref[l, 0] * h.astype(jnp.float32)).astype(cdt)
+            if "nomlp" in _abl:
+                h = act
+                continue
             z = jax.lax.dot_general(
                 act, w1_ref[l * hid : (l + 1) * hid, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
