@@ -27,7 +27,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=200)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--variants", default=(
-        "full,nogather,noscore,noglue,nogather:noscore:noglue"
+        "full,nogather,noscore,noglue,noacc,noonehot,nogather:noscore:noglue"
     ))
     args = ap.parse_args()
 

@@ -2551,8 +2551,14 @@ def gat_local_model_pairs(
         # sentinel W only meets lanes < W, B's maps to 2W ≥ the iota range.
         usA = uslot_ref[0:sw, 0].astype(jnp.float32)[:, None]
         usB = uslot_ref[sw : 2 * sw, 0].astype(jnp.float32)[:, None]
-        usel = jnp.where(lanes2 < float(window), usA, usB + float(window))
-        onehot = (usel == lanes2).astype(cdt)
+        if "noonehot" in _abl:
+            # Cheap build stand-in: one compare, no select/shift chain.
+            onehot = (usA == lanes2).astype(cdt)
+        else:
+            usel = jnp.where(
+                lanes2 < float(window), usA, usB + float(window)
+            )
+            onehot = (usel == lanes2).astype(cdt)
         # Per-half valid masks, head-replicated to the paired score lanes.
         h8 = jax.lax.broadcasted_iota(jnp.int32, (sw, 2 * nh), 1)
         valid8 = jnp.where(
@@ -2614,6 +2620,11 @@ def gat_local_model_pairs(
                 scorex = jnp.dot(
                     score, expand2, preferred_element_type=jnp.float32
                 )
+                if "noacc" in _abl:
+                    if k == 0:
+                        num = scorex[:window] * hu[:window]
+                        denx = scorex[:window] + 1.0
+                    continue
                 if caps[k] < window:
                     tail = ((0, window - caps[k]), (0, 0))
                     num += jnp.pad(scorex * hu[sl], tail)
