@@ -85,12 +85,18 @@ def choose_window(model: str, max_graph_nodes: int, default_w: int) -> int:
     graph exceeds the tuned default window, bump to the smallest tuned
     size that holds it (≤512) so nothing spills and the whole-model
     megakernel stays engaged. Measured on hep10k (≤400-node graphs):
-    GAT 7.63→5.50, DGN 5.11→3.82 µs/graph at W512 vs spill-path W256 —
-    while plain GIN/GCN (GIN 4.06 vs 5.41) prefer their default window
-    plus the spill tail, so they are left alone. GIN-VN bumps too: its
-    analytic-VN spill fallback pays L segment pools per pass (hep10k
-    7.21 at W384+spill vs 4.34 at W512 megakernel)."""
-    if model in ("gat", "dgn", "pna", "gin-vn") and max_graph_nodes > default_w:
+    GAT 7.63→5.50, DGN 5.11→3.82 µs/graph at W512 vs spill-path W256.
+    GIN-VN bumps too (round 4: 7.21 at W384+spill vs 4.34 at W512
+    megakernel), and round 5 added GCN — under the SLOT kernel its W512
+    bump measured 3.03 vs 3.44 µs/graph at ELL W384 + spill (+13.7%).
+    Plain GIN stays: its W512 slot run was a wash (3.34 vs 3.35 — the
+    MLP dominates GIN's pass, so the stage gain vanishes) and the
+    round-3 ELL precedent (4.06 vs 5.41) favors the default window +
+    spill tail."""
+    if (
+        model in ("gat", "dgn", "pna", "gin-vn", "gcn")
+        and max_graph_nodes > default_w
+    ):
         for w in (256, 384, 512):
             if w >= default_w and w >= max_graph_nodes:
                 return w
