@@ -130,6 +130,24 @@ def ell_wps(model: str) -> int:
 
 POOL_GMAX = 64  # graph slots per window in the in-kernel pooling layout
 
+# Windows per grid step for the edge-featured slot megakernels (round 5):
+# the update MLP/conv batches over the step's wps windows as one
+# [wps·W, D] matmul, amortizing the MXU weight load (the slot
+# attribution's largest marginal stage). Measured optima on v5e, molhiv
+# whole-dataset: GIN wps2 0.569/87.1x (wps1 0.687, wps4 0.578); GCN wps4
+# 0.569/73.7x (wps1 0.713, wps2 0.593); GIN-VN wps2 0.697/80.7x
+# (wps1 0.787, wps4 0.720). FLOWGNN_SLOT_WPS overrides.
+SLOT_WPS_DEFAULTS: dict[str, int] = {"gin": 2, "gin-vn": 2, "gcn": 4}
+
+
+def slot_wps(model: str) -> int:
+    import os
+
+    env = os.environ.get("FLOWGNN_SLOT_WPS")
+    if env:
+        return int(env)
+    return SLOT_WPS_DEFAULTS.get(model, 1)
+
 
 def slot_prefix_caps(batch: dict, n_slots: int):
     """Static per-slot prefix caps (degree-sorted layout) or None. The

@@ -919,6 +919,28 @@ def _slot_accumulate(msg, caps, offs, window):
     return acc
 
 
+
+def _pad_slot_operands(meta, hcat, window, sw, half, num_windows, wps):
+    """Pad phantom windows so the grid divides by wps: meta rows carry the
+    src sentinel (gathers nothing) and attr −1; hcat rows are zeros with
+    the pool sentinel riding whatever column the caller placed it in —
+    phantom pool rows are sliced off by the caller's output trim."""
+    nw2 = -(-num_windows // wps) * wps
+    if nw2 == num_windows:
+        return meta, hcat, num_windows
+    extra = nw2 - num_windows
+    mpad = jnp.concatenate(
+        [jnp.full((extra * sw, 1), float(window - half), meta.dtype),
+         jnp.full((extra * sw, 3), -1.0, meta.dtype)], axis=1
+    )
+    meta = jnp.concatenate([meta, mpad], axis=0)
+    hcat = jnp.concatenate(
+        [hcat, jnp.zeros((extra * window, hcat.shape[1]), hcat.dtype)],
+        axis=0,
+    )
+    return meta, hcat, nw2
+
+
 def gin_local_model_slots(
     slot_meta: jnp.ndarray,  # [NW·Σc, 4] (src − W/2 ‖ attrs+offsets)
     h0: jnp.ndarray,  # [n, D] embedded input features
@@ -936,6 +958,10 @@ def gin_local_model_slots(
     gmax: int,
     prefix_caps: tuple | None = None,
     vn_col: jnp.ndarray | None = None,  # [n] analytic-VN flag (GIN-VN)
+    wps: int = 1,  # windows per grid step: the update MLP batches over
+    #   the step's wps windows as ONE [wps·W, D] matmul (halving weight-
+    #   load amortization loss — the MLP is the kernel's largest marginal
+    #   stage per the slot attribution) and the grid halves its steps.
     _ablate: str | None = None,  # bench-only (bench/ablate_gin_slots):
     #   comma-set of "nogather"/"nobond"/"noacc"/"nomlp" stage stubs —
     #   NOT bit-exact, used only for noop-subtracted time attribution.
@@ -974,6 +1000,10 @@ def gin_local_model_slots(
     cdt = h0.dtype
     half = window // 2 if window <= 512 else 0
     _abl = set((_ablate or "").split(",")) - {""}
+    orig_windows = num_windows
+    slot_meta, hcat, num_windows = _pad_slot_operands(
+        jnp.asarray(slot_meta), hcat, window, sw, half, num_windows, wps,
+    )
 
     def kernel(meta_ref, h_ref, tab_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                eps_ref, predw_ref, out_ref):
@@ -983,77 +1013,108 @@ def gin_local_model_slots(
         vlanes = jax.lax.broadcasted_iota(jnp.int32, (sw, vocab), 1).astype(
             jnp.float32
         )
-        mf = meta_ref[:].astype(jnp.float32)
-        onehot = (mf[:, 0:1] == lanes).astype(cdt)
-        valid = (mf[:, 0:1] < float(window - half)).astype(jnp.float32)
-        multihot = (
-            (mf[:, 1:2] == vlanes).astype(cdt)
-            + (mf[:, 2:3] == vlanes).astype(cdt)
-            + (mf[:, 3:4] == vlanes).astype(cdt)
-        )
-        h = h_ref[:, :d]
-        if has_vn:
-            gl = h_ref[:, d : d + 1].astype(jnp.float32)
-            vnc = h_ref[:, d + 1 : d + 2].astype(jnp.float32)
-            giota = jax.lax.broadcasted_iota(
-                jnp.int32, (window, gmax), 1
-            ).astype(jnp.float32)
-            ohg = (gl == giota).astype(cdt)
-        for l in range(num_layers):
-            if "nobond" in _abl:
-                ee = jnp.dot(
-                    multihot[:, :1], tab_ref[l * vocab : l * vocab + 1, :],
-                    preferred_element_type=jnp.float32,
-                )  # tiny-K stand-in (see ablate_gat_pairs note)
-            else:
-                ee = jnp.dot(
-                    multihot,
-                    tab_ref[l * vocab : (l + 1) * vocab, :],
-                    preferred_element_type=jnp.float32,
-                )
-            if "nogather" in _abl:
-                h_u = jnp.dot(
-                    onehot[:, :8], h[:8, :],
-                    preferred_element_type=jnp.float32,
-                )  # tiny-K stand-in
-            else:
-                h_u = jnp.dot(onehot, h, preferred_element_type=jnp.float32)
-            msg = jnp.maximum(h_u + ee, 0).astype(cdt) * valid
-            if "noacc" in _abl:
-                acc = msg[:window].astype(jnp.float32)
-            else:
-                acc = _slot_accumulate(msg, caps, offs, window)
+        subs = []
+        for i in range(wps):
+            mf = meta_ref[i * sw : (i + 1) * sw].astype(jnp.float32)
+            s = dict(
+                onehot=(mf[:, 0:1] == lanes).astype(cdt),
+                valid=(mf[:, 0:1] < float(window - half)).astype(
+                    jnp.float32
+                ),
+                multihot=(
+                    (mf[:, 1:2] == vlanes).astype(cdt)
+                    + (mf[:, 2:3] == vlanes).astype(cdt)
+                    + (mf[:, 3:4] == vlanes).astype(cdt)
+                ),
+                x=h_ref[i * window : (i + 1) * window, :],
+            )
+            s["h"] = s["x"][:, :d]
             if has_vn:
-                e0 = (
-                    tab_ref[l * vocab : l * vocab + 1, :].astype(jnp.float32)
-                    + tab_ref[l * vocab + 5 : l * vocab + 6, :].astype(
-                        jnp.float32
+                gl = s["x"][:, d : d + 1].astype(jnp.float32)
+                s["vnc"] = s["x"][:, d + 1 : d + 2].astype(jnp.float32)
+                giota = jax.lax.broadcasted_iota(
+                    jnp.int32, (window, gmax), 1
+                ).astype(jnp.float32)
+                s["ohg"] = (gl == giota).astype(cdt)
+            subs.append(s)
+        for l in range(num_layers):
+            acts = []
+            for s in subs:
+                h = s["h"]
+                if "nobond" in _abl:
+                    ee = jnp.dot(
+                        s["multihot"][:, :1],
+                        tab_ref[l * vocab : l * vocab + 1, :],
+                        preferred_element_type=jnp.float32,
+                    )  # tiny-K stand-in (see ablate_gat_pairs note)
+                else:
+                    ee = jnp.dot(
+                        s["multihot"],
+                        tab_ref[l * vocab : (l + 1) * vocab, :],
+                        preferred_element_type=jnp.float32,
                     )
-                    + tab_ref[l * vocab + 11 : l * vocab + 12, :].astype(
-                        jnp.float32
+                if "nogather" in _abl:
+                    h_u = jnp.dot(
+                        s["onehot"][:, :8], h[:8, :],
+                        preferred_element_type=jnp.float32,
+                    )  # tiny-K stand-in
+                else:
+                    h_u = jnp.dot(
+                        s["onehot"], h, preferred_element_type=jnp.float32
+                    )
+                msg = jnp.maximum(h_u + ee, 0).astype(cdt) * s["valid"]
+                if "noacc" in _abl:
+                    acc = msg[:window].astype(jnp.float32)
+                else:
+                    acc = _slot_accumulate(msg, caps, offs, window)
+                if has_vn:
+                    e0 = (
+                        tab_ref[l * vocab : l * vocab + 1, :].astype(
+                            jnp.float32
+                        )
+                        + tab_ref[l * vocab + 5 : l * vocab + 6, :].astype(
+                            jnp.float32
+                        )
+                        + tab_ref[
+                            l * vocab + 11 : l * vocab + 12, :
+                        ].astype(jnp.float32)
+                    )
+                    vnc = s["vnc"]
+                    r = jnp.maximum(
+                        h.astype(jnp.float32) + e0, 0
+                    ).astype(cdt)
+                    rcat = jnp.concatenate(
+                        [
+                            (r.astype(jnp.float32) * (1.0 - vnc)).astype(
+                                cdt
+                            ),
+                            (r.astype(jnp.float32) * vnc).astype(cdt),
+                        ],
+                        axis=1,
+                    )
+                    pooled = jax.lax.dot_general(
+                        s["ohg"], rcat,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    back = jnp.dot(
+                        s["ohg"].astype(jnp.float32), pooled,
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = (
+                        acc + back[:, d:] * (1.0 - vnc) + back[:, :d] * vnc
+                    )
+                acts.append(
+                    (acc + eps_ref[l, 0] * h.astype(jnp.float32)).astype(
+                        cdt
                     )
                 )
-                r = jnp.maximum(h.astype(jnp.float32) + e0, 0).astype(cdt)
-                rcat = jnp.concatenate(
-                    [
-                        (r.astype(jnp.float32) * (1.0 - vnc)).astype(cdt),
-                        (r.astype(jnp.float32) * vnc).astype(cdt),
-                    ],
-                    axis=1,
-                )
-                pooled = jax.lax.dot_general(
-                    ohg, rcat,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                back = jnp.dot(
-                    ohg.astype(jnp.float32), pooled,
-                    preferred_element_type=jnp.float32,
-                )
-                acc = acc + back[:, d:] * (1.0 - vnc) + back[:, :d] * vnc
-            act = (acc + eps_ref[l, 0] * h.astype(jnp.float32)).astype(cdt)
+            # The update MLP batches over the step's wps windows — one
+            # [wps·W, D] matmul pair amortizes the MXU weight load.
+            act = jnp.concatenate(acts, axis=0) if wps > 1 else acts[0]
             if "nomlp" in _abl:
-                h = act
+                for i, s in enumerate(subs):
+                    s["h"] = act[i * window : (i + 1) * window]
                 continue
             z = jax.lax.dot_general(
                 act, w1_ref[l * hid : (l + 1) * hid, :],
@@ -1068,18 +1129,25 @@ def gin_local_model_slots(
             ) + b2_ref[l : l + 1, :].astype(jnp.float32)
             if l != num_layers - 1:
                 out = jnp.maximum(out, 0)
-            h = out.astype(cdt)
-        out_ref[:] = _pool_epilogue(h, h_ref, d, predw_ref, window, gmax)
+            outc = out.astype(cdt)
+            for i, s in enumerate(subs):
+                s["h"] = outc[i * window : (i + 1) * window]
+        for i, s in enumerate(subs):
+            out_ref[i * gmax : (i + 1) * gmax] = _pool_epilogue(
+                s["h"], s["x"], d, predw_ref, window, gmax
+            )
 
     out = pl.pallas_call(
         kernel,
-        grid=(num_windows,),
+        grid=(num_windows // wps,),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
         in_specs=[
-            pl.BlockSpec((sw, 4), lambda w: (w, 0)),
-            pl.BlockSpec((window, d + 1 + int(has_vn)), lambda w: (w, 0)),
+            pl.BlockSpec((wps * sw, 4), lambda w: (w, 0)),
+            pl.BlockSpec(
+                (wps * window, d + 1 + int(has_vn)), lambda w: (w, 0)
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1088,7 +1156,7 @@ def gin_local_model_slots(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_specs=pl.BlockSpec((wps * gmax, t_out), lambda w: (w, 0)),
         out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=num_layers
@@ -1104,7 +1172,7 @@ def gin_local_model_slots(
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
     )(slot_meta, hcat, ee_tables, w1_all, b1_all, w2_all, b2_all, eps_all,
       pred_w)
-    return out
+    return out[: orig_windows * gmax]
 
 
 def gcn_local_model_slots(
@@ -1124,6 +1192,7 @@ def gcn_local_model_slots(
     num_layers: int,
     gmax: int,
     prefix_caps: tuple | None = None,
+    wps: int = 1,  # windows per grid step (see gin_local_model_slots)
 ) -> jnp.ndarray:
     """GCN whole-model megakernel over the dest-major slot layout (see
     gin_local_model_slots — same structural lever). The per-edge source
@@ -1146,6 +1215,10 @@ def gcn_local_model_slots(
     t_out = pred_w.shape[1]
     cdt = h0.dtype
     half = window // 2 if window <= 512 else 0
+    orig_windows = num_windows
+    slot_meta, hcat, num_windows = _pad_slot_operands(
+        jnp.asarray(slot_meta), hcat, window, sw, half, num_windows, wps,
+    )
 
     def kernel(meta_ref, x_ref, tab_ref, root_ref, alpha_ref, beta_ref,
                wn_ref, bn_ref, predw_ref, out_ref):
@@ -1155,61 +1228,83 @@ def gcn_local_model_slots(
         vlanes = jax.lax.broadcasted_iota(jnp.int32, (sw, vocab), 1).astype(
             jnp.float32
         )
-        mf = meta_ref[:].astype(jnp.float32)
-        onehot = (mf[:, 0:1] == lanes).astype(cdt)
-        valid = (mf[:, 0:1] < float(window - half)).astype(jnp.float32)
-        multihot = (
-            (mf[:, 1:2] == vlanes).astype(cdt)
-            + (mf[:, 2:3] == vlanes).astype(cdt)
-            + (mf[:, 3:4] == vlanes).astype(cdt)
-        )
-        hu_pay = jnp.dot(
-            onehot, x_ref[:, d : d + 1], preferred_element_type=jnp.float32
-        )  # layer-invariant per-edge source norm dis_u
-        dis_u = hu_pay
-        dis_win = x_ref[:, d : d + 1].astype(jnp.float32)
-        h = x_ref[:, :d]
-        for l in range(num_layers):
-            ee = jnp.dot(
-                multihot,
-                tab_ref[l * vocab : (l + 1) * vocab, :],
+        subs = []
+        for i in range(wps):
+            mf = meta_ref[i * sw : (i + 1) * sw].astype(jnp.float32)
+            x_i = x_ref[i * window : (i + 1) * window, :]
+            s = dict(
+                onehot=(mf[:, 0:1] == lanes).astype(cdt),
+                valid=(mf[:, 0:1] < float(window - half)).astype(
+                    jnp.float32
+                ),
+                multihot=(
+                    (mf[:, 1:2] == vlanes).astype(cdt)
+                    + (mf[:, 2:3] == vlanes).astype(cdt)
+                    + (mf[:, 3:4] == vlanes).astype(cdt)
+                ),
+                x=x_i,
+                dis_win=x_i[:, d : d + 1].astype(jnp.float32),
+                h=x_i[:, :d],
+            )
+            s["dis_u"] = jnp.dot(
+                s["onehot"], x_i[:, d : d + 1],
                 preferred_element_type=jnp.float32,
-            )
-            h_u = jnp.dot(onehot, h, preferred_element_type=jnp.float32)
-            msg = (dis_u * jnp.maximum(h_u + ee, 0)).astype(cdt) * valid
-            acc = _slot_accumulate(msg, caps, offs, window)
-            h_win = h.astype(jnp.float32)
-            m = acc * dis_win
-            a = m + jnp.maximum(
-                h_win + root_ref[l : l + 1, :].astype(jnp.float32), 0.0
-            ) * (dis_win * dis_win)
-            x = (
-                alpha_ref[l : l + 1, :].astype(jnp.float32) * a
-                + beta_ref[l : l + 1, :].astype(jnp.float32)
-            )
+            )  # layer-invariant per-edge source norm
+            subs.append(s)
+        for l in range(num_layers):
+            xs = []
+            for s in subs:
+                ee = jnp.dot(
+                    s["multihot"],
+                    tab_ref[l * vocab : (l + 1) * vocab, :],
+                    preferred_element_type=jnp.float32,
+                )
+                h_u = jnp.dot(
+                    s["onehot"], s["h"], preferred_element_type=jnp.float32
+                )
+                msg = (
+                    s["dis_u"] * jnp.maximum(h_u + ee, 0)
+                ).astype(cdt) * s["valid"]
+                acc = _slot_accumulate(msg, caps, offs, window)
+                h_win = s["h"].astype(jnp.float32)
+                dis_win = s["dis_win"]
+                m = acc * dis_win
+                a = m + jnp.maximum(
+                    h_win + root_ref[l : l + 1, :].astype(jnp.float32), 0.0
+                ) * (dis_win * dis_win)
+                xs.append(
+                    alpha_ref[l : l + 1, :].astype(jnp.float32) * a
+                    + beta_ref[l : l + 1, :].astype(jnp.float32)
+                )
             if l != num_layers - 1:
+                # Next conv batches over the step's wps windows (one
+                # [wps·W, D] matmul — see gin_local_model_slots).
+                x = jnp.concatenate(xs, axis=0) if wps > 1 else xs[0]
                 a2 = jnp.maximum(x, 0.0).astype(cdt)
-                h = (
+                hn = (
                     jnp.dot(
                         a2, wn_ref[l * d : (l + 1) * d, :],
                         preferred_element_type=jnp.float32,
                     )
                     + bn_ref[l : l + 1, :].astype(jnp.float32)
                 ).astype(cdt)
+                for i, s in enumerate(subs):
+                    s["h"] = hn[i * window : (i + 1) * window]
             else:
-                out_ref[:] = _pool_epilogue(
-                    x, x_ref, d + 1, predw_ref, window, gmax
-                )
+                for i, s in enumerate(subs):
+                    out_ref[i * gmax : (i + 1) * gmax] = _pool_epilogue(
+                        xs[i], s["x"], d + 1, predw_ref, window, gmax
+                    )
 
     out = pl.pallas_call(
         kernel,
-        grid=(num_windows,),
+        grid=(num_windows // wps,),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
         in_specs=[
-            pl.BlockSpec((sw, 4), lambda w: (w, 0)),
-            pl.BlockSpec((window, d + 2), lambda w: (w, 0)),
+            pl.BlockSpec((wps * sw, 4), lambda w: (w, 0)),
+            pl.BlockSpec((wps * window, d + 2), lambda w: (w, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1218,7 +1313,7 @@ def gcn_local_model_slots(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_specs=pl.BlockSpec((wps * gmax, t_out), lambda w: (w, 0)),
         out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=num_layers
@@ -1232,7 +1327,7 @@ def gcn_local_model_slots(
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
     )(slot_meta, hcat, ee_tables, roots, alphas, betas, wn_all, bn_all,
       pred_w)
-    return out
+    return out[: orig_windows * gmax]
 
 
 def gcn_local_message_ell(
