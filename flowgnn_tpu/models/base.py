@@ -87,16 +87,12 @@ def choose_window(model: str, max_graph_nodes: int, default_w: int) -> int:
     megakernel stays engaged. Measured on hep10k (≤400-node graphs):
     GAT 7.63→5.50, DGN 5.11→3.82 µs/graph at W512 vs spill-path W256.
     GIN-VN bumps too (round 4: 7.21 at W384+spill vs 4.34 at W512
-    megakernel), and round 5 added GCN — under the SLOT kernel its W512
-    bump measured 3.03 vs 3.44 µs/graph at ELL W384 + spill (+13.7%).
-    Plain GIN stays: its W512 slot run was a wash (3.34 vs 3.35 — the
-    MLP dominates GIN's pass, so the stage gain vanishes) and the
-    round-3 ELL precedent (4.06 vs 5.41) favors the default window +
-    spill tail."""
-    if (
-        model in ("gat", "dgn", "pna", "gin-vn", "gcn")
-        and max_graph_nodes > default_w
-    ):
+    megakernel), and round 5 added GCN and finally GIN: under the SLOT
+    kernels with the wps batched-MLP lever, every edge-featured model's
+    W512 bump beats ELL + spill (GCN 3.03 then 2.58 vs 3.44; GIN 2.58
+    vs 3.35 interleaved — the wps=1 wash that kept GIN on ELL inverted
+    at wps=2, so the round-3 ELL precedent is fully retired)."""
+    if max_graph_nodes > default_w:
         for w in (256, 384, 512):
             if w >= default_w and w >= max_graph_nodes:
                 return w
@@ -140,13 +136,16 @@ POOL_GMAX = 64  # graph slots per window in the in-kernel pooling layout
 SLOT_WPS_DEFAULTS: dict[str, int] = {"gin": 2, "gin-vn": 2, "gcn": 4}
 
 
-def slot_wps(model: str) -> int:
+def slot_wps(model: str, window: int = 384) -> int:
     import os
 
     env = os.environ.get("FLOWGNN_SLOT_WPS")
-    if env:
-        return int(env)
-    return SLOT_WPS_DEFAULTS.get(model, 1)
+    w = int(env) if env else SLOT_WPS_DEFAULTS.get(model, 1)
+    if window >= 512:
+        # Per-step VMEM scales with wps·window: GCN at W512/wps4 blew the
+        # 16 MB scoped limit (18.04M, hep10k) — cap wide windows at 2.
+        w = min(w, 2)
+    return w
 
 
 def slot_prefix_caps(batch: dict, n_slots: int):

@@ -112,7 +112,7 @@ def forward(
             params["pred_w"].T.astype(dt),
             window, n_slots, L, _base.POOL_GMAX,
             prefix_caps=_base.slot_prefix_caps(batch, n_slots),
-            wps=_base.slot_wps("gcn"),
+            wps=_base.slot_wps("gcn", window),
         )
         return _base.pool_finish(pool, batch, params["pred_b"], prec)
     if local and not has_spill:

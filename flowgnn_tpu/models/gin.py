@@ -141,7 +141,7 @@ def forward(
             vn_col=(
                 jnp.asarray(batch["vn_mask"]).astype(dt) if vn else None
             ),
-            wps=_base.slot_wps("gin-vn" if vn else "gin"),
+            wps=_base.slot_wps("gin-vn" if vn else "gin", window),
         )
         return _base.pool_finish(pool, batch, params["pred_b"], prec)
     ell = local and "loc_ell" in batch
