@@ -132,8 +132,12 @@ POOL_GMAX = 64  # graph slots per window in the in-kernel pooling layout
 # attribution's largest marginal stage). Measured optima on v5e, molhiv
 # whole-dataset: GIN wps2 0.569/87.1x (wps1 0.687, wps4 0.578); GCN wps4
 # 0.569/73.7x (wps1 0.713, wps2 0.593); GIN-VN wps2 0.697/80.7x
-# (wps1 0.787, wps4 0.720). FLOWGNN_SLOT_WPS overrides.
-SLOT_WPS_DEFAULTS: dict[str, int] = {"gin": 2, "gin-vn": 2, "gcn": 4}
+# (wps1 0.787, wps4 0.720); DGN wps4 0.441/74.6x (wps1 0.507, wps2
+# 0.445); PNA wps4 0.489/117.4x (wps1 0.616, wps2 0.499).
+# FLOWGNN_SLOT_WPS overrides.
+SLOT_WPS_DEFAULTS: dict[str, int] = {
+    "gin": 2, "gin-vn": 2, "gcn": 4, "dgn": 4, "pna": 4,
+}
 
 
 def slot_wps(model: str, window: int = 384) -> int:

@@ -131,6 +131,7 @@ def forward(
             params["mlp1_w"].T.astype(dt),
             window, n_slots, L, _base.POOL_GMAX,
             prefix_caps=_base.slot_prefix_caps(batch, int(n_slots)),
+            wps=_base.slot_wps("dgn", window),
         )
         pool = _base.pool_gather(pool, edge_axis if halo else None)
         z = relu(_base.pool_finish(pool, batch, params["mlp1_b"], prec))

@@ -104,6 +104,7 @@ def forward(
             int(window), int(n_slots), L, _base.POOL_GMAX,
             MAX_INIT, MIN_INIT,
             prefix_caps=_base.slot_prefix_caps(batch, int(n_slots)),
+            wps=_base.slot_wps("pna", int(window)),
         )
         pool = _base.pool_gather(pool, edge_axis if halo else None)
         z = relu(_base.pool_finish(pool, batch, params["mlp1_b"], prec))

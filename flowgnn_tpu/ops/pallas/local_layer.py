@@ -2076,6 +2076,7 @@ def pna_local_model(
     min_init: float,
     max_init: float,
     prefix_caps: tuple | None = None,  # per-slot static caps (degree-sorted)
+    wps: int = 1,  # windows per grid step (the tower batches over them)
 ) -> jnp.ndarray:
     """The ENTIRE PNA conv stack (all L layers + finalize head) in ONE
     pallas call.
@@ -2114,6 +2115,17 @@ def pna_local_model(
     ncols = d + 3 + scols + 1
     t_out = mlp1_w.shape[1]
     cdt = h0.dtype
+    orig_windows = num_windows
+    if num_windows % wps:
+        # Phantom windows complete the last wps group (zero rows; their
+        # output rows are trimmed below).
+        nw2 = -(-num_windows // wps) * wps
+        hcat = jnp.concatenate(
+            [hcat,
+             jnp.zeros(((nw2 - num_windows) * window, ncols), hcat.dtype)],
+            axis=0,
+        )
+        num_windows = nw2
 
     caps = (
         tuple(min(int(c), window) for c in prefix_caps)
@@ -2124,81 +2136,105 @@ def pna_local_model(
         lanes_f = jax.lax.broadcasted_iota(
             jnp.int32, (window, window), 1
         ).astype(jnp.float32)
-        onehots = [
-            _slot_onehot(x_ref, lanes_f, d + 3, s, slots, window,
-                         rows=caps[s])
-            for s in range(slots)
-        ]  # built once, reused by every layer
-        invd = x_ref[:, d : d + 1].astype(jnp.float32)
-        t_w = x_ref[:, d + 1 : d + 2].astype(jnp.float32)
-        sc_w = x_ref[:, d + 2 : d + 3].astype(jnp.float32)
-        h = x_ref[:, :d]
+        subs = []
+        for i in range(wps):
+            x_i = x_ref[i * window : (i + 1) * window, :]
+            subs.append(dict(
+                x=x_i,
+                onehots=[
+                    _slot_onehot(x_i, lanes_f, d + 3, s, slots, window,
+                                 rows=caps[s])
+                    for s in range(slots)
+                ],  # built once, reused by every layer
+                invd=x_i[:, d : d + 1].astype(jnp.float32),
+                t_w=x_i[:, d + 1 : d + 2].astype(jnp.float32),
+                sc_w=x_i[:, d + 2 : d + 3].astype(jnp.float32),
+                h=x_i[:, :d],
+            ))
         for l in range(num_layers):
-            acc_s = jnp.zeros((window, d), jnp.float32)
-            acc_q = jnp.zeros((window, d), jnp.float32)
-            acc_mn = jnp.full((window, d), min_init, jnp.float32)
-            acc_mx = jnp.full((window, d), max_init, jnp.float32)
-            for s in range(slots):
-                onehot, valid = onehots[s]
-                h_u = jnp.dot(onehot, h, preferred_element_type=jnp.float32)
-
-                def _tail(x, fill):
-                    # concat (not jnp.pad): Mosaic crashes lowering pads
-                    # whose source has far fewer sublane tiles than the
-                    # constant region.
-                    if caps[s] == window:
-                        return x
-                    return jnp.concatenate(
-                        [x, jnp.full(
-                            (window - caps[s], d), fill, jnp.float32
-                        )], axis=0,
+            parts4 = []  # per sub: (mean, min, max, std)
+            for sub in subs:
+                h = sub["h"]
+                acc_s = jnp.zeros((window, d), jnp.float32)
+                acc_q = jnp.zeros((window, d), jnp.float32)
+                acc_mn = jnp.full((window, d), min_init, jnp.float32)
+                acc_mx = jnp.full((window, d), max_init, jnp.float32)
+                for s in range(slots):
+                    onehot, valid = sub["onehots"][s]
+                    h_u = jnp.dot(
+                        onehot, h, preferred_element_type=jnp.float32
                     )
 
-                acc_s += _tail(h_u, 0.0)
-                acc_q += _tail(h_u * h_u, 0.0)
-                acc_mn = jnp.minimum(
-                    acc_mn, _tail(jnp.where(valid > 0, h_u, min_init),
-                                  min_init)
+                    def _tail(x, fill):
+                        # concat (not jnp.pad): Mosaic crashes lowering
+                        # pads whose source has far fewer sublane tiles
+                        # than the constant region.
+                        if caps[s] == window:
+                            return x
+                        return jnp.concatenate(
+                            [x, jnp.full(
+                                (window - caps[s], d), fill, jnp.float32
+                            )], axis=0,
+                        )
+
+                    acc_s += _tail(h_u, 0.0)
+                    acc_q += _tail(h_u * h_u, 0.0)
+                    acc_mn = jnp.minimum(
+                        acc_mn, _tail(jnp.where(valid > 0, h_u, min_init),
+                                      min_init)
+                    )
+                    acc_mx = jnp.maximum(
+                        acc_mx, _tail(jnp.where(valid > 0, h_u, max_init),
+                                      max_init)
+                    )
+                mean = acc_s * sub["invd"]
+                std = jnp.sqrt(
+                    jnp.maximum(acc_q * sub["invd"] - mean * mean, 0.0)
                 )
-                acc_mx = jnp.maximum(
-                    acc_mx, _tail(jnp.where(valid > 0, h_u, max_init),
-                                  max_init)
-                )
-            mean = acc_s * invd
-            std = jnp.sqrt(jnp.maximum(acc_q * invd - mean * mean, 0.0))
+                parts4.append((mean, acc_mn, acc_mx, std))
             # Four split matmuls instead of concat([mean,min,max,std]) @ w
             # — the tower is block-row separable and in-kernel lane
-            # concats measured ~0.28 µs/window/layer on v5e.
-            y = jnp.zeros((window, w_ref.shape[1]), jnp.float32)
-            for j, part in enumerate((mean, acc_mn, acc_mx, std)):
+            # concats measured ~0.28 µs/window/layer on v5e. The tower
+            # BATCHES over the step's wps windows (the slot-wps lever).
+            y = jnp.zeros((wps * window, w_ref.shape[1]), jnp.float32)
+            for j in range(4):
+                part = (
+                    jnp.concatenate([p4[j] for p4 in parts4], axis=0)
+                    if wps > 1 else parts4[0][j]
+                )
                 y += jnp.dot(
                     part.astype(cdt),
                     w_ref[l * 4 * d + j * d : l * 4 * d + (j + 1) * d, :],
                     preferred_element_type=jnp.float32,
                 )
-            acc = (
-                y[:, :d] + t_w * y[:, d : 2 * d] + sc_w * y[:, 2 * d :]
-                + b_ref[l : l + 1, :].astype(jnp.float32)
+            for i, sub in enumerate(subs):
+                y_i = y[i * window : (i + 1) * window]
+                acc = (
+                    y_i[:, :d] + sub["t_w"] * y_i[:, d : 2 * d]
+                    + sub["sc_w"] * y_i[:, 2 * d :]
+                    + b_ref[l : l + 1, :].astype(jnp.float32)
+                )
+                sub["h"] = (
+                    sub["h"].astype(jnp.float32) + jnp.maximum(acc, 0.0)
+                ).astype(cdt)
+        for i, sub in enumerate(subs):
+            out_ref[i * gmax : (i + 1) * gmax] = _pool_epilogue(
+                sub["h"], sub["x"], d + 3 + scols, predw_ref, window, gmax
             )
-            h32 = h.astype(jnp.float32)
-            h = (h32 + jnp.maximum(acc, 0.0)).astype(cdt)
-        out_ref[:] = _pool_epilogue(
-            h, x_ref, d + 3 + scols, predw_ref, window, gmax
-        )
 
     out = pl.pallas_call(
         kernel,
-        grid=(num_windows,),
+        grid=(num_windows // wps,),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
         in_specs=[
-            pl.BlockSpec((window, ncols), lambda w: (w, 0)),
+            pl.BlockSpec((wps * window, ncols), lambda w: (w, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_specs=pl.BlockSpec((wps * gmax, t_out), lambda w: (w, 0)),
         out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * num_windows * num_layers
@@ -2208,7 +2244,7 @@ def pna_local_model(
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
     )(hcat, w_all, b_all, mlp1_w)
-    return out
+    return out[: orig_windows * gmax]
 
 
 def gat_local_message_slots(
@@ -3081,6 +3117,7 @@ def dgn_local_model(
     num_layers: int,
     gmax: int,
     prefix_caps: tuple | None = None,  # per-slot static caps (degree-sorted)
+    wps: int = 1,  # windows per grid step (posttrans batches over them)
 ) -> jnp.ndarray:
     """The ENTIRE DGN conv stack (all L layers + finalize head) in ONE
     pallas call.
@@ -3118,6 +3155,17 @@ def dgn_local_model(
     ncols = d + 4 + scols + 1
     t_out = mlp1_w.shape[1]
     cdt = h0.dtype
+    orig_windows = num_windows
+    if num_windows % wps:
+        # Phantom windows complete the last wps group (zero rows gather/
+        # pool zeros into output rows the trim below discards).
+        nw2 = -(-num_windows // wps) * wps
+        hcat = jnp.concatenate(
+            [hcat,
+             jnp.zeros(((nw2 - num_windows) * window, ncols), hcat.dtype)],
+            axis=0,
+        )
+        num_windows = nw2
 
     caps = (
         tuple(min(int(c), window) for c in prefix_caps)
@@ -3128,46 +3176,65 @@ def dgn_local_model(
         lanes_f = jax.lax.broadcasted_iota(
             jnp.int32, (window, window), 1
         ).astype(jnp.float32)
-        onehots = [
-            _slot_onehot(x_ref, lanes_f, d + 4, s, slots, window,
-                         rows=caps[s])[0]
-            for s in range(slots)
-        ]
-        eig_col = x_ref[:, d : d + 1]
-        e_u = [
-            jnp.dot(oh, eig_col, preferred_element_type=jnp.float32)
-            for oh in onehots
-        ]  # layer-invariant per-slot eig_u
-        eig_win = eig_col.astype(jnp.float32)
-        invd = x_ref[:, d + 1 : d + 2].astype(jnp.float32)
-        ews = x_ref[:, d + 2 : d + 3].astype(jnp.float32)
-        inva = x_ref[:, d + 3 : d + 4].astype(jnp.float32)
-        h = x_ref[:, :d]
+        subs = []
+        for i in range(wps):
+            x_i = x_ref[i * window : (i + 1) * window, :]
+            onehots = [
+                _slot_onehot(x_i, lanes_f, d + 4, s, slots, window,
+                             rows=caps[s])[0]
+                for s in range(slots)
+            ]
+            eig_col = x_i[:, d : d + 1]
+            subs.append(dict(
+                x=x_i,
+                onehots=onehots,
+                e_u=[
+                    jnp.dot(oh, eig_col, preferred_element_type=jnp.float32)
+                    for oh in onehots
+                ],  # layer-invariant per-slot eig_u
+                eig_win=eig_col.astype(jnp.float32),
+                invd=x_i[:, d + 1 : d + 2].astype(jnp.float32),
+                ews=x_i[:, d + 2 : d + 3].astype(jnp.float32),
+                inva=x_i[:, d + 3 : d + 4].astype(jnp.float32),
+                h=x_i[:, :d],
+            ))
         for l in range(num_layers):
-            m1 = jnp.zeros((window, d), jnp.float32)
-            m2a = jnp.zeros((window, d), jnp.float32)
-            for s in range(slots):
-                hu = jnp.dot(
-                    onehots[s], h, preferred_element_type=jnp.float32
-                )
-
-                def _tail(x):
-                    if caps[s] == window:
-                        return x
-                    return jnp.concatenate(
-                        [x, jnp.zeros((window - caps[s], d), jnp.float32)],
-                        axis=0,
+            a1s, a2s, hwins = [], [], []
+            for sub in subs:
+                h = sub["h"]
+                m1 = jnp.zeros((window, d), jnp.float32)
+                m2a = jnp.zeros((window, d), jnp.float32)
+                for s in range(slots):
+                    hu = jnp.dot(
+                        sub["onehots"][s], h,
+                        preferred_element_type=jnp.float32,
                     )
 
-                m1 += _tail(hu)
-                m2a += _tail(e_u[s] * hu)
-            h_win = h.astype(jnp.float32)
-            m2 = m2a - eig_win * m1
-            a1 = m1 * invd
-            a2 = jnp.abs(m2 - ews * h_win) * inva
+                    def _tail(x):
+                        if caps[s] == window:
+                            return x
+                        return jnp.concatenate(
+                            [x,
+                             jnp.zeros((window - caps[s], d), jnp.float32)],
+                            axis=0,
+                        )
+
+                    m1 += _tail(hu)
+                    m2a += _tail(sub["e_u"][s] * hu)
+                h_win = h.astype(jnp.float32)
+                m2 = m2a - sub["eig_win"] * m1
+                a1s.append(m1 * sub["invd"])
+                a2s.append(
+                    jnp.abs(m2 - sub["ews"] * h_win) * sub["inva"]
+                )
+                hwins.append(h_win)
             # Two split matmuls instead of concat([a1, a2]) @ w — the
             # in-kernel lane concat measured ~0.28 µs/window/layer on v5e
-            # (same math: the posttrans is block-row separable).
+            # (same math: the posttrans is block-row separable). The
+            # posttrans BATCHES over the step's wps windows (one
+            # [wps·W, D] matmul pair — the slot-wps weight-load lever).
+            a1 = jnp.concatenate(a1s, axis=0) if wps > 1 else a1s[0]
+            a2 = jnp.concatenate(a2s, axis=0) if wps > 1 else a2s[0]
             acc = jnp.dot(
                 a1.astype(cdt),
                 w_ref[l * 2 * d : l * 2 * d + d, :],
@@ -3177,24 +3244,31 @@ def dgn_local_model(
                 w_ref[l * 2 * d + d : (l + 1) * 2 * d, :],
                 preferred_element_type=jnp.float32,
             ) + b_ref[l : l + 1, :].astype(jnp.float32)
-            h = (h_win + jnp.maximum(acc, 0.0)).astype(cdt)
-        out_ref[:] = _pool_epilogue(
-            h, x_ref, d + 4 + scols, predw_ref, window, gmax
-        )
+            for i, sub in enumerate(subs):
+                sub["h"] = (
+                    hwins[i]
+                    + jnp.maximum(
+                        acc[i * window : (i + 1) * window], 0.0
+                    )
+                ).astype(cdt)
+        for i, sub in enumerate(subs):
+            out_ref[i * gmax : (i + 1) * gmax] = _pool_epilogue(
+                sub["h"], sub["x"], d + 4 + scols, predw_ref, window, gmax
+            )
 
     out = pl.pallas_call(
         kernel,
-        grid=(num_windows,),
+        grid=(num_windows // wps,),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)
         ),
         in_specs=[
-            pl.BlockSpec((window, ncols), lambda w: (w, 0)),
+            pl.BlockSpec((wps * window, ncols), lambda w: (w, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((gmax, t_out), lambda w: (w, 0)),
+        out_specs=pl.BlockSpec((wps * gmax, t_out), lambda w: (w, 0)),
         out_shape=jax.ShapeDtypeStruct((num_windows * gmax, t_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * num_windows * num_layers
@@ -3204,7 +3278,7 @@ def dgn_local_model(
         ),
         interpret=os.environ.get("FLOWGNN_PALLAS_INTERPRET", "0") == "1",
     )(hcat, w_all, b_all, mlp1_w)
-    return out
+    return out[: orig_windows * gmax]
 
 
 def gat_local_layer_ell(
