@@ -41,17 +41,16 @@ PALLAS_ELL_BLOCK = 1536
 # (k=1) or the grid doubles; smaller windows then cut the one-hot matmul
 # FLOPs (∝ window) until per-step grid overhead takes over.
 ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
-    "gin": (384, 896),  # W384 sweep: 1.75 vs 1.90 @ (256,640) / 1.81 @ (512,1280)
+    # Round-5 slot-wps re-sweep: W128/wps8 wins (see SLOT_WPS_DEFAULTS
+    # table); choose_window bumps window-exceeding streams (molpcba→256,
+    # hep10k→512).
+    "gin": (128, 384),
     # Analytic VN: the star edges left the stream, so gin-vn's density is
     # GIN's (the old (256,1152) optimum was tuned for the VN-star stream).
-    # Round-5 re-flip UNDER THE SLOT LAYOUT (the round-4 W256 optimum was
-    # the ELL kernel's): whole-dataset molhiv slot W384 0.787 vs W256
-    # 0.843 µs/graph (71.4x vs 66.7x; confirmed by an interleaved pair,
-    # BENCH.md) — the slot gather prefers GIN's taller windows.
-    # choose_window still bumps hep10k to (512, 1280), identical to the
-    # pre-flip bump.
-    "gin-vn": (384, 960),
-    "gcn": (384, 896),  # W384 sweep: 1.75 vs 1.96 @ (256,640)
+    # Round-5 slot-wps re-sweep: W256/wps4 0.680 beats W384/wps2 0.697
+    # and W128/wps8 0.883 (the VN pool stage scales with window count).
+    "gin-vn": (256, 640),
+    "gcn": (128, 384),  # W128/wps8 (slot-wps re-sweep table)
     # Round-5 re-sweep UNDER THE PAIRS KERNEL (two windows per grid step
     # fully use the 128 lanes, so taller windows amortize better than the
     # unpaired optimum W256): whole-dataset molhiv W384 0.659/0.660 vs
@@ -59,18 +58,10 @@ ELL_GEOMETRY_DEFAULTS: dict[str, tuple[int, int]] = {
     # consistently (26.7x vs 24.1x). choose_window still bumps hep10k to
     # (512, 2048).
     "gat": (384, 1536),
-    # Round-4 re-sweep: W384 beats W256 by ~1.3% consistently (0.507/
-    # 0.509 vs 0.514/0.515 us/graph across interleaved whole-dataset
-    # runs; same direction at the 1028-graph protocol). choose_window
-    # still bumps hep10k to (512, 2048) — identical to before the flip.
-    "dgn": (384, 1536),
-    # Round-4 re-sweep inverted the round-2 W512-vs-W256 call (3.03 vs
-    # 3.43 then; 0.865 vs 0.830 at 1028 graphs now — the slot kernels got
-    # lean enough that smaller windows' lower slot-FLOP cost wins), and
-    # the whole-dataset protocol confirms: 0.615 vs 0.650 us/graph
-    # (93.3x vs 88.8x). choose_window still bumps hep10k back to
-    # (512, 1536) — identical to its prior tuned geometry.
-    "pna": (256, 768),
+    # Round-5 slot-wps re-sweep: W128/wps8 0.347 (from W384/wps4 0.441).
+    "dgn": (128, 512),
+    # Round-5 slot-wps re-sweep: W128/wps8 0.482 (from W256/wps4 0.489).
+    "pna": (128, 384),
 }
 PALLAS_SLOTS = 8  # dest-major in-edge slots (PNA stats kernel)
 SPILL_SCATTER_WINDOW = 512  # scatter window of the kernelized spill tail
@@ -135,8 +126,26 @@ POOL_GMAX = 64  # graph slots per window in the in-kernel pooling layout
 # (wps1 0.787, wps4 0.720); DGN wps4 0.441/74.6x (wps1 0.507, wps2
 # 0.445); PNA wps4 0.489/117.4x (wps1 0.616, wps2 0.499).
 # FLOWGNN_SLOT_WPS overrides.
-SLOT_WPS_DEFAULTS: dict[str, int] = {
-    "gin": 2, "gin-vn": 2, "gcn": 4, "dgn": 4, "pna": 4,
+# The wps lever RESHUFFLED the window optima downward (the update-matmul
+# M decouples from the window, so smaller windows' lower slot-gather
+# FLOPs win again); per-(model, window) optima measured on v5e
+# whole-dataset molhiv (µs/graph):
+#   GIN  W128/8 0.534 > W256/4 0.555 > W384/2 0.569 > W384/1 0.687
+#   GCN  W128/8 0.515 > W256/4 0.523 > W384/4 0.569 > W384/1 0.713
+#   GIN-VN W256/4 0.680 > W384/2 0.697 (W128/8 0.883 — its per-window
+#     VN pool stage scales with window count)
+#   PNA  W128/8 0.482 > W256/4 0.489 > W256/1 0.616 (W384/4 0.553)
+#   DGN  W128/8 0.347 > W256/4 0.377 > W384/4 0.441 (W128/16 0.360,
+#     W256/8 0.391)
+# W≥512 (the hep10k bump) caps at 2: per-step VMEM scales with wps·W and
+# GCN W512/wps4 blew the 16 MB scoped limit (18.04M); GCN W128/wps16
+# died the same way. FLOWGNN_SLOT_WPS overrides.
+SLOT_WPS_DEFAULTS: dict[str, dict[int, int]] = {
+    "gin": {128: 8, 256: 4, 384: 2, 512: 2},
+    "gin-vn": {128: 8, 256: 4, 384: 2, 512: 2},
+    "gcn": {128: 8, 256: 4, 384: 4, 512: 2},
+    "pna": {128: 8, 256: 4, 384: 4, 512: 2},
+    "dgn": {128: 8, 256: 4, 384: 4, 512: 2},
 }
 
 
@@ -144,11 +153,14 @@ def slot_wps(model: str, window: int = 384) -> int:
     import os
 
     env = os.environ.get("FLOWGNN_SLOT_WPS")
-    w = int(env) if env else SLOT_WPS_DEFAULTS.get(model, 1)
+    if env:
+        w = int(env)
+    else:
+        w = SLOT_WPS_DEFAULTS.get(model, {}).get(
+            window, max(1, min(8, 1024 // max(window, 1)))
+        )
     if window >= 512:
-        # Per-step VMEM scales with wps·window: GCN at W512/wps4 blew the
-        # 16 MB scoped limit (18.04M, hep10k) — cap wide windows at 2.
-        w = min(w, 2)
+        w = min(w, 2)  # scoped-VMEM cap (see table above)
     return w
 
 
