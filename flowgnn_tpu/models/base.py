@@ -140,10 +140,15 @@ POOL_GMAX = 64  # graph slots per window in the in-kernel pooling layout
 # W≥512 (the hep10k bump) caps at 2: per-step VMEM scales with wps·W and
 # GCN W512/wps4 blew the 16 MB scoped limit (18.04M); GCN W128/wps16
 # died the same way. FLOWGNN_SLOT_WPS overrides.
+# W512 entries: wps4 blows the 16 MB scoped-VMEM limit (GCN 18.04M) but
+# wps3 fits for the leaner GIN/GCN kernels and measured +6-7% on hep10k
+# (GIN 2.44/73.8x vs 2.58/69.7x; GCN 2.41/68.1x vs 2.58/63.5x); DGN
+# wps3 is a wash (2.164 vs 2.165) and PNA slightly worse (2.56 vs 2.52)
+# — their per-window slot stages dominate at W512.
 SLOT_WPS_DEFAULTS: dict[str, dict[int, int]] = {
-    "gin": {128: 8, 256: 4, 384: 2, 512: 2},
+    "gin": {128: 8, 256: 4, 384: 2, 512: 3},
     "gin-vn": {128: 8, 256: 4, 384: 2, 512: 2},
-    "gcn": {128: 8, 256: 4, 384: 4, 512: 2},
+    "gcn": {128: 8, 256: 4, 384: 4, 512: 3},
     "pna": {128: 8, 256: 4, 384: 4, 512: 2},
     "dgn": {128: 8, 256: 4, 384: 4, 512: 2},
 }
@@ -154,13 +159,13 @@ def slot_wps(model: str, window: int = 384) -> int:
 
     env = os.environ.get("FLOWGNN_SLOT_WPS")
     if env:
-        w = int(env)
-    else:
-        w = SLOT_WPS_DEFAULTS.get(model, {}).get(
-            window, max(1, min(8, 1024 // max(window, 1)))
-        )
+        return int(env)  # explicit override bypasses the VMEM cap
+    d = SLOT_WPS_DEFAULTS.get(model, {})
+    if window in d:
+        return d[window]  # measured-safe per-model entries
+    w = max(1, min(8, 1024 // max(window, 1)))
     if window >= 512:
-        w = min(w, 2)  # scoped-VMEM cap (see table above)
+        w = min(w, 2)  # scoped-VMEM cap for un-measured geometries
     return w
 
 
